@@ -1,0 +1,200 @@
+"""Kernel unit tests: the reference's known-answer cases plus property
+checks (see SURVEY.md §5).
+
+Known answers, from /root/reference:
+- python-package/test.py:11-19 / r-package/tests.R:143-147:
+  t1=[(1,0),(2,0),(4,0),(5,0)] vs t2=[(1,0),(3,3),(5,0)] has dF = 3.
+- samples/plain.cpp:31-60: [(0,0),(10,0)] vs [(0,1),(5,10),(10,1)] has dF = 10.
+- r-package/tests.R:137: parallel diagonals offset by (1,1) -> dF = sqrt(2).
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from frechetrange_spark.kernels import (
+    decide_frechet,
+    equal_time_distance,
+    frechet_distance,
+    greedy_upper_bound,
+)
+
+T1 = np.array([[1.0, 0.0], [2.0, 0.0], [4.0, 0.0], [5.0, 0.0]])
+T2 = np.array([[1.0, 0.0], [3.0, 3.0], [5.0, 0.0]])
+
+
+class TestKnownAnswers:
+    def test_gis_cup_pair_decisions(self):
+        assert decide_frechet(T1, T2, 3.01)
+        assert not decide_frechet(T1, T2, 2.99)
+        # symmetric
+        assert decide_frechet(T2, T1, 3.01)
+        assert not decide_frechet(T2, T1, 2.99)
+
+    def test_gis_cup_pair_distance(self):
+        assert frechet_distance(T1, T2) == pytest.approx(3.0, abs=1e-6)
+
+    def test_segment_vs_triangle(self):
+        a = np.array([[0.0, 0.0], [10.0, 0.0]])
+        b = np.array([[0.0, 1.0], [5.0, 10.0], [10.0, 1.0]])
+        assert frechet_distance(a, b) == pytest.approx(10.0, abs=1e-6)
+        assert decide_frechet(a, b, 10.0 + 1e-9)
+        assert not decide_frechet(a, b, 10.0 - 1e-6)
+
+    def test_parallel_diagonals(self):
+        a = np.array([[float(i), float(i)] for i in range(5)])
+        b = a + np.array([1.0, 1.0])
+        assert frechet_distance(a, b) == pytest.approx(np.sqrt(2.0), abs=1e-6)
+
+    def test_identical_curves(self):
+        assert decide_frechet(T1, T1, 0.0)
+        assert frechet_distance(T2, T2) == 0.0
+
+    def test_single_point_cases(self):
+        pt = np.array([[2.0, 0.0]])
+        # max vertex distance from (2,0) to T2 is to (3,3) -> sqrt(10)
+        d = np.sqrt(10.0)
+        assert decide_frechet(pt, T2, d + 1e-9)
+        assert not decide_frechet(pt, T2, d - 1e-9)
+        assert decide_frechet(pt, pt, 0.0)
+        assert not decide_frechet(pt, np.array([[3.0, 0.0]]), 0.5)
+
+    def test_endpoint_reject_is_strict(self):
+        # dv:44-47 rejects on dist > eps: equality is accepted.
+        a = np.array([[0.0, 0.0], [1.0, 0.0]])
+        b = np.array([[0.0, 1.0], [1.0, 1.0]])
+        assert decide_frechet(a, b, 1.0)
+        assert not decide_frechet(a, b, 1.0 - 1e-12)
+
+    def test_duplicate_points(self):
+        a = np.array([[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [1.0, 0.0]])
+        b = np.array([[0.0, 0.0], [1.0, 0.0]])
+        assert decide_frechet(a, b, 1e-12)
+
+    def test_backtracking_curves(self):
+        # A curve that doubles back: monotonicity forces a larger leash.
+        a = np.array([[0.0, 0.0], [10.0, 0.0]])
+        b = np.array([[0.0, 0.0], [6.0, 0.0], [4.0, 0.0], [10.0, 0.0]])
+        d = frechet_distance(a, b)
+        assert d == pytest.approx(1.0, abs=1e-6)
+
+
+def _rand_curve(rng, n):
+    steps = rng.standard_normal((n, 2))
+    return np.cumsum(steps, axis=0)
+
+
+class TestProperties:
+    def test_monotone_in_eps(self):
+        rng = np.random.default_rng(7)
+        for _ in range(25):
+            a = _rand_curve(rng, rng.integers(2, 12))
+            b = _rand_curve(rng, rng.integers(2, 12))
+            d = frechet_distance(a, b)
+            assert decide_frechet(a, b, d * (1 + 1e-6) + 1e-9)
+            if d > 1e-6:
+                assert not decide_frechet(a, b, d * (1 - 1e-6) - 1e-9)
+
+    def test_upper_bounds_hold(self):
+        rng = np.random.default_rng(11)
+        for _ in range(25):
+            a = _rand_curve(rng, rng.integers(2, 15))
+            b = _rand_curve(rng, rng.integers(2, 15))
+            d = frechet_distance(a, b)
+            # frechet_distance returns the bisection hi, which can overshoot
+            # the true value by abs_tol + rel_tol*hi — allow that slack.
+            slack = 1e-9 + 2e-9 * d
+            assert equal_time_distance(a, b) >= d - slack
+            assert greedy_upper_bound(a, b) >= d - slack
+
+    def test_symmetry(self):
+        rng = np.random.default_rng(13)
+        for _ in range(15):
+            a = _rand_curve(rng, rng.integers(2, 10))
+            b = _rand_curve(rng, rng.integers(2, 10))
+            assert frechet_distance(a, b) == pytest.approx(
+                frechet_distance(b, a), rel=1e-6, abs=1e-9
+            )
+
+    def test_triangle_like_lower_bound(self):
+        # dF >= max(endpoint distances) always.
+        rng = np.random.default_rng(17)
+        for _ in range(15):
+            a = _rand_curve(rng, rng.integers(2, 10))
+            b = _rand_curve(rng, rng.integers(2, 10))
+            lb = max(
+                np.linalg.norm(a[0] - b[0]), np.linalg.norm(a[-1] - b[-1])
+            )
+            assert frechet_distance(a, b) >= lb - 1e-9
+
+    def test_discrete_frechet_sandwich(self):
+        # continuous dF <= discrete dF; discrete dF on densified curves
+        # approaches continuous. Independent O(nm) DP oracle.
+        def discrete(a, b):
+            n, m = len(a), len(b)
+            d = np.sqrt(
+                ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+            )
+            ca = np.full((n, m), np.inf)
+            ca[0, 0] = d[0, 0]
+            for i in range(n):
+                for j in range(m):
+                    if i == 0 and j == 0:
+                        continue
+                    prev = min(
+                        ca[i - 1, j] if i else np.inf,
+                        ca[i, j - 1] if j else np.inf,
+                        ca[i - 1, j - 1] if i and j else np.inf,
+                    )
+                    ca[i, j] = max(prev, d[i, j])
+            return ca[-1, -1]
+
+        def densify(c, k=8):
+            out = [c[0]]
+            for i in range(len(c) - 1):
+                for s in range(1, k + 1):
+                    out.append(c[i] + (c[i + 1] - c[i]) * s / k)
+            return np.array(out)
+
+        rng = np.random.default_rng(23)
+        for _ in range(10):
+            a = _rand_curve(rng, rng.integers(2, 8))
+            b = _rand_curve(rng, rng.integers(2, 8))
+            cont = frechet_distance(a, b)
+            disc_dense = discrete(densify(a), densify(b))
+            seg = max(
+                np.sqrt((np.diff(a, axis=0) ** 2).sum(-1)).max(),
+                np.sqrt((np.diff(b, axis=0) ** 2).sum(-1)).max(),
+            )
+            slack = 1e-9 + 2e-9 * cont
+            assert cont <= disc_dense + slack
+            assert disc_dense <= cont + seg / 8 + slack
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-50, 50, allow_nan=False),
+            st.floats(-50, 50, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    st.lists(
+        st.tuples(
+            st.floats(-50, 50, allow_nan=False),
+            st.floats(-50, 50, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+)
+def test_hypothesis_decide_consistent_with_value(pa, pb):
+    a = np.array(pa, dtype=np.float64)
+    b = np.array(pb, dtype=np.float64)
+    d = frechet_distance(a, b)
+    assert decide_frechet(a, b, d + max(1e-6, d * 1e-6))
+    if d > 1e-5:
+        assert not decide_frechet(a, b, d * 0.999 - 1e-9)
