@@ -1,0 +1,208 @@
+"""Fréchet range query: brute-force oracle and the dv-grid indexed pipeline.
+
+Shape (classic filter-and-refine spatial join, SURVEY §2.3/§3.2):
+
+1. candidate generation — equi-join on grid cell id (J1). The dataset side
+   is keyed by ONE MBR corner cell (``floor(corner/mesh)``, grid.hpp:352-358,
+   corner chosen by the Σ bucket² statistic, grid.hpp:410-432); the query
+   side explodes the neighbor cells its eps-box crosses (grid.hpp:462-488).
+   Each dataset curve lives in exactly one cell ⇒ no post-join dedup.
+2. native filters, pushed by Catalyst below/into the join:
+   F2 MBR-border check (grid.hpp:683-717), F1 endpoint check
+   (dv/frechet_distance.hpp:44-47) — both plain column predicates.
+3. F3 farthest-MBR positive filter (grid.hpp:719-730): accepts without
+   running any kernel.
+4. refine — Arrow-batched kernel funnel per candidate pair
+   (equal-time-distance accept, then the exact free-space decider),
+   inside ``mapInPandas``: no extra shuffle, early exit per row.
+
+Everything before step 4 is whole-stage-codegen relational work; step 4 is
+the only Python, and it sees only survivors of the funnel.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frechetrange_spark.operators.tiling import cell_coord, explode_neighbor_cells
+
+_CORNERS = {
+    "min_min": ("min_x", "min_y"),
+    "min_max": ("min_x", "max_y"),
+    "max_min": ("max_x", "min_y"),
+    "max_max": ("max_x", "max_y"),
+}
+
+
+def choose_corner(curves: DataFrame, mesh: float) -> str:
+    """A4/A5: pick the MBR corner minimizing Σ(bucket size²) over cells
+    (grid.hpp:334, 394-397, 410-432). One aggregate job over an exploded
+    4-variant column; the decision is a 4-row driver-side argmin."""
+    variants = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("corner"),
+                cell_coord(F.col(cx), mesh).alias("cx"),
+                cell_coord(F.col(cy), mesh).alias("cy"),
+            )
+            for name, (cx, cy) in _CORNERS.items()
+        ]
+    )
+    counts = (
+        curves.select(F.explode(variants).alias("v"))
+        .groupBy("v.corner", "v.cx", "v.cy")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("corner")
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("cost"))
+        .orderBy("cost", "corner")
+        .collect()
+    )
+    return counts[0]["corner"]
+
+
+def build_grid_index(curves: DataFrame, mesh: float, corner: str | None = None):
+    """Attach the home-cell columns for the chosen corner. Returns
+    (index_df, meta). At scale, write ``index_df`` partitioned/bucketed by
+    (cell_x, cell_y) so the query join prunes partitions."""
+    if corner is None:
+        corner = choose_corner(curves, mesh)
+    cx_col, cy_col = _CORNERS[corner]
+    index_df = curves.withColumn(
+        "cell_x", cell_coord(F.col(cx_col), mesh)
+    ).withColumn("cell_y", cell_coord(F.col(cy_col), mesh))
+    return index_df, {"mesh": float(mesh), "corner": corner}
+
+
+def _q(cols: DataFrame, prefix: str) -> DataFrame:
+    return cols.select([F.col(c).alias(f"{prefix}{c}") for c in cols.columns])
+
+
+def grid_candidates(
+    index_df: DataFrame, queries: DataFrame, eps: float, meta: dict
+) -> DataFrame:
+    """J1 equi-join + native F1/F2 predicates. Returns candidate pairs with
+    both curves' arrays and an ``accept_f3`` flag (F3 positive filter)."""
+    mesh, corner = meta["mesh"], meta["corner"]
+    cx_col, cy_col = _CORNERS[corner]
+    qexp = explode_neighbor_cells(
+        _q(queries, "q_"), f"q_{cx_col}", f"q_{cy_col}", mesh, eps
+    )
+    eps_l = F.lit(float(eps))
+    eps2 = F.lit(float(eps) * float(eps))
+    joined = qexp.join(index_df, on=["cell_x", "cell_y"])
+
+    # F2: every MBR border within eps (grid.hpp:683-717)
+    f2 = (
+        (F.abs(F.col("q_min_x") - F.col("min_x")) <= eps_l)
+        & (F.abs(F.col("q_max_x") - F.col("max_x")) <= eps_l)
+        & (F.abs(F.col("q_min_y") - F.col("min_y")) <= eps_l)
+        & (F.abs(F.col("q_max_y") - F.col("max_y")) <= eps_l)
+    )
+    # F1: endpoint distances (squared, strict > rejects)
+    d2_first = (F.col("q_x_first") - F.col("x_first")) ** 2 + (
+        F.col("q_y_first") - F.col("y_first")
+    ) ** 2
+    d2_last = (F.col("q_x_last") - F.col("x_last")) ** 2 + (
+        F.col("q_y_last") - F.col("y_last")
+    ) ** 2
+    f1 = (d2_first <= eps2) & (d2_last <= eps2)
+
+    # F3: farthest possible distance between the two MBRs (grid.hpp:719-730)
+    fx = F.greatest(
+        F.abs(F.col("q_min_x") - F.col("max_x")),
+        F.abs(F.col("q_max_x") - F.col("min_x")),
+    )
+    fy = F.greatest(
+        F.abs(F.col("q_min_y") - F.col("max_y")),
+        F.abs(F.col("q_max_y") - F.col("min_y")),
+    )
+    f3 = (fx * fx + fy * fy) <= eps2
+
+    return joined.filter(f2 & f1).withColumn("accept_f3", f3)
+
+
+def _refine_map(eps: float):
+    from frechetrange_spark.kernels import decide_frechet, equal_time_distance
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_q, out_t = [], []
+            for qid, tid, qxs, qys, xs, ys in zip(
+                pdf["query_id"].values,
+                pdf["traj_id"].values,
+                pdf["q_xs"].values,
+                pdf["q_ys"].values,
+                pdf["xs"].values,
+                pdf["ys"].values,
+            ):
+                p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
+                t = np.column_stack([np.asarray(xs), np.asarray(ys)])
+                # F8-style cheap accept, then the exact decider (K5)
+                if equal_time_distance(p, t) <= eps or decide_frechet(p, t, eps):
+                    out_q.append(qid)
+                    out_t.append(tid)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "traj_id": pd.Series(out_t, dtype="int64"),
+                }
+            )
+
+    return fn
+
+
+def range_query_grid(
+    index_df: DataFrame, queries: DataFrame, eps: float, meta: dict
+) -> DataFrame:
+    """Exact range query via the grid index: (query_id, traj_id) pairs with
+    continuous Fréchet distance <= eps."""
+    cand = grid_candidates(index_df, queries, eps, meta)
+    accepted = cand.filter("accept_f3").select(
+        F.col("q_traj_id").alias("query_id"), "traj_id"
+    )
+    to_refine = cand.filter(~F.col("accept_f3")).select(
+        F.col("q_traj_id").alias("query_id"),
+        "traj_id",
+        F.col("q_xs"),
+        F.col("q_ys"),
+        "xs",
+        "ys",
+    )
+    refined = to_refine.mapInPandas(
+        _refine_map(eps), schema="query_id long, traj_id long"
+    )
+    return accepted.unionAll(refined)
+
+
+def range_query_bruteforce(
+    curves: DataFrame, queries: DataFrame, eps: float
+) -> DataFrame:
+    """Ground-truth oracle: decide every (query, trajectory) pair with the
+    exact kernel. No filters beyond what the decider itself implies."""
+    pairs = _q(
+        queries.select("traj_id", "xs", "ys"), "q_"
+    ).crossJoin(curves.select("traj_id", "xs", "ys"))
+    pairs = pairs.select(
+        F.col("q_traj_id").alias("query_id"), "traj_id", "q_xs", "q_ys", "xs", "ys"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from frechetrange_spark.kernels import decide_frechet
+
+        for pdf in batches:
+            keep = []
+            for i, (qxs, qys, xs, ys) in enumerate(
+                zip(pdf["q_xs"], pdf["q_ys"], pdf["xs"], pdf["ys"])
+            ):
+                p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
+                t = np.column_stack([np.asarray(xs), np.asarray(ys)])
+                if decide_frechet(p, t, eps):
+                    keep.append(i)
+            yield pdf.iloc[keep][["query_id", "traj_id"]]
+
+    return pairs.mapInPandas(fn, schema="query_id long, traj_id long")
