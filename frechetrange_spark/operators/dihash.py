@@ -1,0 +1,49 @@
+"""J3 — bddm-style endpoint ("di-hash") candidate generation.
+
+The reference registers each curve's start and end point in a 500x500 grid
+over the dataset bbox and probes neighbor slots within eps
+(detail/bddm/spatial_hash.hpp:425-541). Spark-first: the grid becomes a
+start-point cell column + an equi-join; the query side explodes the
+neighbor cells its eps-ball crosses; the exact predicates — start AND end
+pair distances strictly < eps (``TOLERANCE``-free here; strict < per
+bddm:484-486) — run as native Catalyst filters after the join.
+
+Each dataset curve lives in exactly one start cell, so no post-join dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from frechetrange_spark.operators.tiling import cell_coord, explode_neighbor_cells
+
+
+def endpoint_candidates(
+    curves: DataFrame, queries: DataFrame, eps: float, mesh: float
+) -> DataFrame:
+    """Candidate (query_id, traj_id) pairs whose start and end points are
+    both strictly within eps. Exactly the reference's di-hash probe set."""
+    data = curves.withColumn(
+        "cell_x", cell_coord(F.col("x_first"), mesh)
+    ).withColumn("cell_y", cell_coord(F.col("y_first"), mesh))
+    qs = queries.select(
+        F.col("traj_id").alias("query_id"),
+        F.col("x_first").alias("q_x_first"),
+        F.col("y_first").alias("q_y_first"),
+        F.col("x_last").alias("q_x_last"),
+        F.col("y_last").alias("q_y_last"),
+    )
+    qexp = explode_neighbor_cells(qs, "q_x_first", "q_y_first", mesh, eps)
+    eps2 = F.lit(float(eps) * float(eps))
+    d2_first = (F.col("q_x_first") - F.col("x_first")) ** 2 + (
+        F.col("q_y_first") - F.col("y_first")
+    ) ** 2
+    d2_last = (F.col("q_x_last") - F.col("x_last")) ** 2 + (
+        F.col("q_y_last") - F.col("y_last")
+    ) ** 2
+    return (
+        qexp.join(data, on=["cell_x", "cell_y"])
+        .filter((d2_first < eps2) & (d2_last < eps2))
+        .select("query_id", "traj_id")
+    )

