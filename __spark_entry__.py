@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frechetrange_spark import oracles
+from frechetrange_spark.operators import dedup, textql
 from frechetrange_spark.operators.dihash import endpoint_candidates
 from frechetrange_spark.operators.range_query import (
     build_grid_index,
@@ -100,14 +101,30 @@ def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_query_grid(index_df, queries, EPS, meta)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # trajectory / spatial engine
         "traj_points": _q_traj_points,
         "curve_features": _q_curve_features,
         "grid_cells": _q_grid_cells,
         "grid_candidates": _q_grid_candidates,
         "endpoint_candidates": _q_endpoint_candidates,
         "range_query": _q_range_query,  # exact decider: rows-only check
+        # web-text pipeline
+        "token_stats": lambda s, d: textql.token_stats(_docs(s, d)),
+        "lang_id": lambda s, d: textql.language_id(_docs(s, d)),
+        "quality": lambda s, d: textql.quality_score(_docs(s, d)),
+        "fingerprints": lambda s, d: textql.doc_fingerprints(_docs(s, d)),
+        "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
+        "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d), 0.5),
+        "minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
+        "minhash_lsh": lambda s, d: dedup.minhash_lsh_dedup(_docs(s, d), 0.5),
+        "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
     }
 
 
@@ -119,4 +136,14 @@ def oracle_sql() -> dict[str, str]:
         "grid_candidates": oracles.GRID_CANDIDATES_SQL,
         "endpoint_candidates": oracles.ENDPOINT_CANDIDATES_SQL,
         # "range_query": non-SQL-expressible (free-space DP decider)
+        "token_stats": oracles.TOKEN_STATS_SQL,
+        "lang_id": oracles.LANG_ID_SQL,
+        "quality": oracles.QUALITY_SQL,
+        "fingerprints": oracles.FINGERPRINTS_SQL,
+        "dedup_exact": oracles.EXACT_DEDUP_SQL,
+        "jaccard_pairs": oracles.JACCARD_PAIRS_SQL,
+        "minhash_signatures": oracles.MINHASH_SIGNATURES_SQL,
+        "minhash_lsh": oracles.MINHASH_LSH_SQL,
+        "simhash": oracles.SIMHASH_SQL,
+        "simhash_pairs": oracles.SIMHASH_PAIRS_SQL,
     }

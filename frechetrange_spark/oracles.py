@@ -115,3 +115,247 @@ FROM q JOIN feats d
  AND (q.x_last - d.x_last)*(q.x_last - d.x_last)
      + (q.y_last - d.y_last)*(q.y_last - d.y_last) < 225.0
 """
+
+
+# ---------------------------------------------------------------------------
+# Web-text pipeline oracles (token hash / shingle math mirrors
+# operators/textql.py and operators/dedup.py exactly).
+# ---------------------------------------------------------------------------
+
+def _markers_sql() -> dict[str, str]:
+    from frechetrange_spark.operators.textql import LANG_MARKERS
+
+    return {
+        lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in LANG_MARKERS.items()
+    }
+
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+  FROM documents
+)
+"""
+
+TOKEN_STATS_SQL = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-zA-Z]+$'))) AS BIGINT)
+         AS n_alpha_tokens,
+       CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT)
+         AS n_num_tokens,
+       CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+FROM toks
+"""
+
+
+def _lang_id_sql() -> str:
+    m = _markers_sql()
+    langs = sorted(m)
+    scores = ",\n       ".join(
+        f"len(list_filter(toks, t -> t IN ({m[lang]}))) AS score_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    cases = "\n         ".join(
+        f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"""
+WITH {_TOKS_CTE},
+scored AS (
+  SELECT doc_id,
+       {scores}
+  FROM toks
+)
+SELECT doc_id,
+       CASE {cases}
+         ELSE 'und' END AS lang_pred
+FROM scored
+"""
+
+
+LANG_ID_SQL = _lang_id_sql()
+
+
+def _quality_sql() -> str:
+    from frechetrange_spark.operators.textql import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return f"""
+WITH {_TOKS_CTE}
+SELECT doc_id,
+       CAST(CAST(len(toks) AS DOUBLE) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+         AS uniq_ratio,
+       CAST(len(list_filter(toks, t -> t IN ({stops}))) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+       least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         + (CAST(len(list_distinct(toks)) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)) * 0.3
+         + (1.0 - CAST(len(list_filter(toks, t -> t IN ({stops}))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)) * 0.2
+         + least((CAST(length(text) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) / 8.0,
+                 1.0) * 0.2 AS quality
+FROM toks
+"""
+
+
+QUALITY_SQL = _quality_sql()
+
+# token hash: (len*31 + ascii(first)*7 + ascii(last)*13) % 1000003
+_TH = "((length(tok)*31 + ascii(tok)*7 + ascii(substr(tok, length(tok), 1))*13) % 1000003)"
+
+_TH_CTE = f"""
+tokpos AS (
+  SELECT doc_id, toks[i] AS tok, i AS pos
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g
+),
+th AS (
+  SELECT doc_id, pos, {_TH} AS th FROM tokpos
+)
+"""
+
+FINGERPRINTS_SQL = f"""
+WITH {_TH_CTE},
+fps AS (
+  SELECT doc_id,
+         ((lag(th, 3) OVER w * 131 + lag(th, 2) OVER w) * 131
+            + lag(th, 1) OVER w) * 131 + th AS fp
+  FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+)
+SELECT DISTINCT doc_id, fp
+FROM fps WHERE fp IS NOT NULL AND fp % 16 = 0
+"""
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id,
+       md5(text) AS text_md5,
+       CAST(COUNT(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS group_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+FROM documents
+"""
+
+_SHINGLES_CTE = f"""
+{_TH_CTE},
+shingles AS (
+  SELECT DISTINCT doc_id,
+         (lag(th, 2) OVER w * 131 + lag(th, 1) OVER w) * 131 + th AS sh
+  FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles_nn AS (SELECT doc_id, sh FROM shingles WHERE sh IS NOT NULL)
+"""
+
+JACCARD_PAIRS_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles_nn GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingles_nn a JOIN shingles_nn b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_id_1, doc_id_2,
+       CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = doc_id_1
+JOIN sizes s2 ON s2.doc_id = doc_id_2
+WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
+"""
+
+
+def _minhash_cte() -> str:
+    from frechetrange_spark.operators.dedup import P, _perm_params
+
+    perms = ", ".join(f"({i}, {a}, {b})" for i, a, b in _perm_params())
+    return f"""
+perms(perm_id, a, b) AS (SELECT * FROM (VALUES {perms})),
+mh AS (
+  SELECT s.doc_id, p.perm_id,
+         CAST(MIN((p.a * s.sh + p.b) % {P}) AS BIGINT) AS mh
+  FROM shingles_nn s, perms p
+  GROUP BY s.doc_id, p.perm_id
+)
+"""
+
+
+MINHASH_SIGNATURES_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_cte()}
+SELECT doc_id, CAST(perm_id AS BIGINT) AS perm_id, mh FROM mh
+"""
+
+MINHASH_LSH_SQL = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_cte()},
+bands AS (
+  SELECT doc_id, CAST(perm_id // 4 AS BIGINT) AS band_id,
+         string_agg(mh::VARCHAR, ':' ORDER BY perm_id) AS band_key
+  FROM mh GROUP BY doc_id, perm_id // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles_nn GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM shingles_nn a JOIN shingles_nn b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_id_1, i.doc_id_2,
+       CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN cand c ON c.doc_id_1 = i.doc_id_1 AND c.doc_id_2 = i.doc_id_2
+JOIN sizes s1 ON s1.doc_id = i.doc_id_1
+JOIN sizes s2 ON s2.doc_id = i.doc_id_2
+WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
+"""
+
+
+def _simhash_cte() -> str:
+    from frechetrange_spark.operators.dedup import SIMHASH_BITS
+
+    sums = ",\n         ".join(
+        f"SUM(((th >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+thall AS (
+  SELECT doc_id, {_TH} AS th
+  FROM (SELECT doc_id, toks[i] AS tok
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g)
+),
+bitsums AS (
+  SELECT doc_id,
+         {sums}
+  FROM thall GROUP BY doc_id
+),
+sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS sim FROM bitsums)
+"""
+
+
+SIMHASH_SQL = f"""
+WITH {_simhash_cte()}
+SELECT doc_id, sim FROM sims
+"""
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
