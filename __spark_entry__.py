@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from frechetrange_spark import oracles
-from frechetrange_spark.operators import dedup, textql
+from frechetrange_spark.operators import dedup, multimodal, similarity, textql
 from frechetrange_spark.operators.dihash import endpoint_candidates
 from frechetrange_spark.operators.range_query import (
     build_grid_index,
@@ -125,7 +125,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_dedup(_docs(s, d), 0.5),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # similarity search (embeddings)
+        "ann_topk": lambda s, d: similarity.ann_topk_bruteforce(_emb(s, d)),
+        "neardup_lsh": lambda s, d: similarity.neardup_lsh(_emb(s, d)),
+        # multimodal
+        "media_meta": lambda s, d: multimodal.media_meta(_docs(s, d)),
+        "frame_sample": lambda s, d: multimodal.frame_sample(
+            multimodal.synth_media(_docs(s, d))
+        ),
+        "media_features": lambda s, d: multimodal.extract_features(
+            multimodal.synth_media(_docs(s, d))
+        ).select("doc_id", F.element_at("features", 1).alias("f0")),
     }
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -146,4 +161,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": oracles.MINHASH_LSH_SQL,
         "simhash": oracles.SIMHASH_SQL,
         "simhash_pairs": oracles.SIMHASH_PAIRS_SQL,
+        # "ann_topk", "neardup_lsh": float-kernel ops — rows-only check
+        #   (numpy-verified in tests/test_similarity.py)
+        "media_meta": oracles.MEDIA_META_SQL,
+        "frame_sample": oracles.FRAME_SAMPLE_SQL,
+        # "media_features": binary-kernel op — rows-only check
     }

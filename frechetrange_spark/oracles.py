@@ -359,3 +359,31 @@ SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sim, b.sim)) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata oracles (operators/multimodal.py synth_media).
+# ---------------------------------------------------------------------------
+
+MEDIA_META_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST(64 + (doc_id * 13) % 448 AS BIGINT) AS width,
+       CAST(64 + (doc_id * 29) % 448 AS BIGINT) AS height,
+       CAST((doc_id * 97) % 60000 AS BIGINT) AS duration_ms
+FROM documents
+"""
+
+FRAME_SAMPLE_SQL = """
+WITH media AS (
+  SELECT doc_id, CAST((doc_id * 97) % 60000 AS BIGINT) AS duration_ms
+  FROM documents
+  WHERE doc_id % 3 = 2 AND (doc_id * 97) % 60000 > 0
+)
+SELECT doc_id, CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS BIGINT)
+         AS frame_ts_ms
+FROM media
+"""
