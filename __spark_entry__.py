@@ -17,6 +17,13 @@ from pyspark.sql import functions as F
 from frechetrange_spark import oracles
 from frechetrange_spark.operators import dedup, multimodal, similarity, textql
 from frechetrange_spark.operators.dihash import endpoint_candidates
+from frechetrange_spark.operators.knn import knn_frechet
+from frechetrange_spark.operators.polygon import point_in_polygon, polygons_df
+from frechetrange_spark.operators.raster import (
+    rasterize_points,
+    tile_pyramid,
+    vectorize_cells,
+)
 from frechetrange_spark.operators.range_query import (
     build_grid_index,
     grid_candidates,
@@ -136,6 +143,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
         ).select("doc_id", F.element_at("features", 1).alias("f0")),
+        # spatial extensions
+        "point_in_polygon": lambda s, d: point_in_polygon(
+            trajectory_points(s, d), polygons_df(s)
+        ),
+        "rasterize": lambda s, d: rasterize_points(
+            trajectory_points(s, d), base_mesh=16.0, level=2
+        ),
+        "tile_pyramid": lambda s, d: tile_pyramid(
+            trajectory_points(s, d), base_mesh=16.0, max_level=3
+        ),
+        "vectorize": lambda s, d: vectorize_cells(
+            rasterize_points(trajectory_points(s, d), 16.0, 2), 16.0, 2
+        ),
+        "knn_frechet": lambda s, d: knn_frechet(
+            _curves(s, d),
+            _curves(s, d).filter(F.col("traj_id") % 150 == 0),
+            k=5,
+            mesh=MESH,
+            eps0=2.0,
+        ),
     }
 
 
@@ -166,4 +193,10 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": oracles.MEDIA_META_SQL,
         "frame_sample": oracles.FRAME_SAMPLE_SQL,
         # "media_features": binary-kernel op — rows-only check
+        "point_in_polygon": oracles.POINT_IN_POLYGON_SQL,
+        "rasterize": oracles.RASTERIZE_SQL,
+        "tile_pyramid": oracles.TILE_PYRAMID_SQL,
+        "vectorize": oracles.VECTORIZE_SQL,
+        # "knn_frechet": exact-decider bisection — rows-only check
+        #   (verified against all-pairs distances in tests/test_knn.py)
     }

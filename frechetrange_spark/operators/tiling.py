@@ -49,13 +49,13 @@ def morton_key(cell_x: Column, cell_y: Column) -> Column:
 
     def spread(v: Column) -> Column:
         # spread 16 bits to even positions (classic Morton bit tricks)
-        v = (v | F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
-        v = (v | F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
-        v = (v | F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
-        v = (v | F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
+        v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF))
+        v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+        v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x33333333))
+        v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x55555555))
         return v
 
-    return spread(ux) | F.shiftleft(spread(uy), 1)
+    return spread(ux).bitwiseOR(F.shiftleft(spread(uy), 1))
 
 
 def neighbor_offsets(radius: int = 1):

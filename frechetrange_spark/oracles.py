@@ -387,3 +387,69 @@ SELECT doc_id, CAST(unnest(generate_series(0, duration_ms - 1, 1000)) AS BIGINT)
          AS frame_ts_ms
 FROM media
 """
+
+
+# ---------------------------------------------------------------------------
+# Spatial extension oracles: point-in-polygon, raster/vector tiles.
+# ---------------------------------------------------------------------------
+
+def _pip_sql() -> str:
+    from frechetrange_spark.operators.polygon import FIXED_POLYGONS, polygon_edges
+
+    vals = ", ".join(
+        f"({pid}, {a[0]}, {a[1]}, {b[0]}, {b[1]})"
+        for pid, verts in FIXED_POLYGONS.items()
+        for a, b in polygon_edges(verts)
+    )
+    return f"""
+WITH pts AS ({POINTS_SQL}),
+edges(poly_id, x1, y1, x2, y2) AS (SELECT * FROM (VALUES {vals})),
+crossings AS (
+  SELECT p.traj_id, p.seq, e.poly_id, COUNT(*) AS c
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.y) != (e.y2 > p.y))
+   AND p.x < (e.x2 - e.x1) * (p.y - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY 1, 2, 3
+)
+SELECT traj_id, seq, CAST(poly_id AS BIGINT) AS poly_id
+FROM crossings WHERE c % 2 = 1
+"""
+
+
+POINT_IN_POLYGON_SQL = _pip_sql()
+
+# rasterize at base_mesh=16, level=2 -> mesh 4.0
+RASTERIZE_SQL = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT CAST(floor(x / 4.0) AS BIGINT) AS cell_x,
+       CAST(floor(y / 4.0) AS BIGINT) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pts GROUP BY 1, 2
+"""
+
+# tile pyramid base_mesh=16, levels 0..3 — every level recomputed directly
+# from the points (proves the Spark side's parent-rollup invariant).
+TILE_PYRAMID_SQL = f"""
+WITH pts AS ({POINTS_SQL})
+SELECT CAST(lvl.l AS BIGINT) AS level,
+       CAST(floor(x / (16.0 / (1 << lvl.l))) AS BIGINT) AS cell_x,
+       CAST(floor(y / (16.0 / (1 << lvl.l))) AS BIGINT) AS cell_y,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM pts, (VALUES (0), (1), (2), (3)) lvl(l)
+GROUP BY 1, 2, 3
+"""
+
+VECTORIZE_SQL = f"""
+WITH pts AS ({POINTS_SQL}),
+raster AS (
+  SELECT CAST(floor(x / 4.0) AS BIGINT) AS cell_x,
+         CAST(floor(y / 4.0) AS BIGINT) AS cell_y,
+         CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM pts GROUP BY 1, 2
+)
+SELECT cell_x, cell_y,
+       cell_x * 4.0 AS min_x, cell_y * 4.0 AS min_y,
+       (cell_x + 1) * 4.0 AS max_x, (cell_y + 1) * 4.0 AS max_y,
+       n_points
+FROM raster
+"""
