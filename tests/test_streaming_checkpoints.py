@@ -1,0 +1,105 @@
+"""Streaming index maintenance and snapshot-checkpoint resume."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from frechetrange_spark.operators.range_query import build_grid_index
+from frechetrange_spark.plans.checkpoints import CheckpointedPipeline
+from frechetrange_spark.sources.trajectories import assemble_curves, points_from_text
+from frechetrange_spark.streaming.ingest import start_index_ingest
+from tests.conftest import SF_SMALL
+
+
+def test_stream_built_index_equals_batch_built(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    # split the corpus into two "arriving" files
+    in_dir = str(tmp_path / "incoming")
+    docs.filter("doc_id % 2 = 0").coalesce(1).write.mode("overwrite").parquet(
+        in_dir + "/batch1"
+    )
+    docs.filter("doc_id % 2 = 1").coalesce(1).write.mode("append").parquet(
+        in_dir + "/batch2"
+    )
+    # flatten: move part files up so the stream source sees them as files
+    import glob
+    import shutil
+
+    os.makedirs(in_dir + "/flat", exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(in_dir + "/batch*/part-*.parquet"))):
+        shutil.copy(f, in_dir + f"/flat/file{i}.parquet")
+
+    index_path = str(tmp_path / "index")
+    q = start_index_ingest(
+        spark,
+        in_dir + "/flat",
+        index_path,
+        str(tmp_path / "ckpt"),
+        mesh=15.0,
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(index_path)
+    batch, _ = build_grid_index(
+        assemble_curves(points_from_text(docs)), 15.0, corner="min_min"
+    )
+    cols = ["traj_id", "n_points", "cell_x", "cell_y", "min_x", "max_y"]
+    a = streamed.select(cols).orderBy("traj_id").toPandas()
+    b = batch.select(cols).orderBy("traj_id").toPandas()
+    assert a.equals(b)
+
+
+def test_checkpoint_resume_skips_completed_stage(spark, tmp_path):
+    root = str(tmp_path / "pipe")
+    calls = {"n": 0}
+
+    def build(s):
+        calls["n"] += 1
+        return s.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+            "doc_id", "lang"
+        )
+
+    p = CheckpointedPipeline(spark, root)
+    df1 = p.run_stage("docs", build, params={"sf": "0.001"})
+    assert calls["n"] == 1
+    df2 = p.run_stage("docs", build, params={"sf": "0.001"})
+    assert calls["n"] == 1  # resumed from snapshot
+    assert df1.count() == df2.count() == 500
+
+    man = json.load(open(os.path.join(root, "docs", "_manifest.json")))
+    assert man["n_rows"] == 500
+    assert sum(man["partition_rows"].values()) == 500
+    assert man["wall_secs"] >= 0
+
+    # changed params -> rebuild
+    p.run_stage("docs", build, params={"sf": "0.001", "v": 2})
+    assert calls["n"] == 2
+
+
+def test_checkpoint_parent_invalidation(spark, tmp_path):
+    p = CheckpointedPipeline(spark, str(tmp_path / "pipe2"))
+
+    def build_a(s):
+        return s.range(10)
+
+    def build_b(s):
+        return s.range(5)
+
+    p.run_stage("a", build_a, params={"v": 1})
+    calls = {"n": 0}
+
+    def build_child(s):
+        calls["n"] += 1
+        return s.range(3)
+
+    p.run_stage("child", build_child, parents=["a"])
+    assert calls["n"] == 1
+    # same parent key -> skip
+    p.run_stage("child", build_child, parents=["a"])
+    assert calls["n"] == 1
+    # parent rebuilt with new params -> child key changes -> rebuild
+    p.run_stage("a", build_a, params={"v": 2})
+    p.run_stage("child", build_child, parents=["a"])
+    assert calls["n"] == 2
