@@ -78,14 +78,22 @@ def knn_frechet(
     by traj_id ascending."""
     spark = curves.sparkSession
     index_df, meta = build_grid_index(curves, mesh)
+    # Each eps-doubling round is a separate Spark action over the SAME
+    # index; persist so rounds don't re-run the curve-assembly lineage
+    # (at cluster scale this is the pre-written, cell-partitioned index
+    # table, so persistence is the read cache for free).
+    index_df = index_df.persist()
+    queries = queries.persist()
     remaining = queries
     candidate_frames = []
     eps = float(eps0)
     for _ in range(max_rounds):
         if remaining.isEmpty():
             break
-        matches = range_query_grid(index_df, remaining, eps, meta).filter(
-            F.col("query_id") != F.col("traj_id")
+        matches = (
+            range_query_grid(index_df, remaining, eps, meta)
+            .filter(F.col("query_id") != F.col("traj_id"))
+            .persist()
         )
         counts = matches.groupBy("query_id").agg(F.count("*").alias("n"))
         done_ids = [r["query_id"] for r in counts.filter(F.col("n") >= k).collect()]
