@@ -1,15 +1,31 @@
 """kNN by Fréchet distance (north-rule extension; the reference has no
 top-k — SURVEY §2.5 O5).
 
-Exact algorithm: ε-doubling over the grid index. If at least k curves
-(excluding the query itself) decide YES at radius ε, the true k nearest
-are all inside that result set; their exact distances (bisection kernel,
-K12) are then computed only for that candidate set and ranked. Queries
-that haven't accumulated k matches double ε and retry; stragglers fall
-back to all-curve distance computation.
+Exact single-pass algorithm (bound-and-prune, no driver iteration):
 
-Per round everything is one relational plan + one Arrow kernel pass — the
-driver only inspects per-query match counts (a k-row collect)."""
+1. **Scalar bound pass** — broadcast the query curves' scalar features
+   (MBR + endpoints, ~10 doubles) against the dataset's: per pair compute
+   a cheap upper bound UB (farthest possible point-pair distance between
+   the two MBRs, the F3 quantity of detail/dv/grid.hpp:719-730 — any
+   matching is pointwise below it, so δF <= UB) and a lower bound LB
+   (max of start/start and end/end distances — endpoints must match
+   endpoints — and the per-axis MBR border gaps |Δmin|/|Δmax|, each a
+   1-D projection of δF; cf. the F1/F2 filter quantities,
+   dv/frechet_distance.hpp:44-47, dv/grid.hpp:683-717).
+2. **Radius** — per query, U_k = k-th smallest UB (self excluded). At
+   least k curves have δF <= U_k, so every true k-nearest neighbor has
+   δF <= U_k and hence LB <= U_k: pairs with LB > U_k cannot be in the
+   answer and are pruned without touching any array data.
+3. **Refine** — join the surviving pairs with both curves' arrays and
+   compute the exact distance (bisection over the free-space decider,
+   K12, already bracketed by endpoint-LB / equal-time-UB inside the
+   kernel), then rank with a window and keep the top k.
+
+Everything is one relational plan + one Arrow kernel pass; there is no
+per-round driver loop, so the serial fraction is a single window
+aggregate over scalar rows. The scalar cross join broadcasts the query
+side, so at cluster scale it is a map-only stage over the (partitioned)
+dataset features."""
 
 from __future__ import annotations
 
@@ -20,8 +36,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-
-from frechetrange_spark.operators.range_query import build_grid_index, range_query_grid
 
 
 def _distance_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -45,9 +59,130 @@ def _distance_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def frechet_distances(pairs: DataFrame) -> DataFrame:
-    """(query_id, traj_id, distance) for pair rows carrying q_xs/q_ys/xs/ys."""
-    return pairs.mapInPandas(
+    """(query_id, traj_id, distance) for pair rows carrying q_xs/q_ys/xs/ys.
+
+    Round-robin repartition before the kernel: pair rows are cheap in bytes
+    but expensive in CPU, so byte-based AQE coalescing must not funnel them
+    into few tasks."""
+    n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n_slots).mapInPandas(
         _distance_kernel, schema="query_id long, traj_id long, distance double"
+    )
+
+
+_FEATS = [
+    "x_first",
+    "y_first",
+    "x_last",
+    "y_last",
+    "min_x",
+    "max_x",
+    "min_y",
+    "max_y",
+]
+
+
+def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Steps 1-2: (query_id, traj_id) pairs that can be in the exact top-k
+    by Fréchet distance — scalar bounds only, no array data moved."""
+    t = curves.select(F.col("traj_id"), *[F.col(c) for c in _FEATS])
+    q = queries.select(
+        F.col("traj_id").alias("query_id"),
+        *[F.col(c).alias(f"q_{c}") for c in _FEATS],
+    )
+    pairs = t.join(F.broadcast(q), F.col("traj_id") != F.col("query_id"))
+
+    # UB: farthest possible point-pair distance between the MBRs (F3)
+    fx = F.greatest(
+        F.abs(F.col("q_min_x") - F.col("max_x")),
+        F.abs(F.col("q_max_x") - F.col("min_x")),
+    )
+    fy = F.greatest(
+        F.abs(F.col("q_min_y") - F.col("max_y")),
+        F.abs(F.col("q_max_y") - F.col("min_y")),
+    )
+    ub = F.sqrt(fx * fx + fy * fy)
+
+    # LB: endpoint distances and per-axis MBR border gaps
+    d_first = F.sqrt(
+        (F.col("q_x_first") - F.col("x_first")) ** 2
+        + (F.col("q_y_first") - F.col("y_first")) ** 2
+    )
+    d_last = F.sqrt(
+        (F.col("q_x_last") - F.col("x_last")) ** 2
+        + (F.col("q_y_last") - F.col("y_last")) ** 2
+    )
+    lb = F.greatest(
+        F.abs(F.col("q_min_x") - F.col("min_x")),
+        F.abs(F.col("q_max_x") - F.col("max_x")),
+        F.abs(F.col("q_min_y") - F.col("min_y")),
+        F.abs(F.col("q_max_y") - F.col("max_y")),
+        d_first,
+        d_last,
+    )
+    bounded = pairs.select("query_id", "traj_id", lb.alias("lb"), ub.alias("ub"))
+
+    w = Window.partitionBy("query_id").orderBy(F.col("ub").asc(), F.col("traj_id").asc())
+    ranked = bounded.withColumn("ub_rank", F.row_number().over(w))
+    # U_k = k-th smallest UB; if a query has < k pairs, keep them all
+    radius = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("ub_rank") <= k, F.col("ub"))).alias("radius"),
+        F.count("*").alias("n_pairs"),
+    )
+    return (
+        bounded.join(F.broadcast(radius), "query_id")
+        .filter((F.col("n_pairs") <= k) | (F.col("lb") <= F.col("radius")))
+        .select("query_id", "traj_id")
+    )
+
+
+def _etd_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from frechetrange_spark.kernels import equal_time_distance
+
+    for pdf in batches:
+        etd = np.empty(len(pdf), dtype=np.float64)
+        lbs = np.empty(len(pdf), dtype=np.float64)
+        for i, (qxs, qys, xs, ys) in enumerate(
+            zip(pdf["q_xs"], pdf["q_ys"], pdf["xs"], pdf["ys"])
+        ):
+            p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
+            t = np.column_stack([np.asarray(xs), np.asarray(ys)])
+            etd[i] = equal_time_distance(p, t)
+            lbs[i] = max(
+                np.hypot(p[0, 0] - t[0, 0], p[0, 1] - t[0, 1]),
+                np.hypot(p[-1, 0] - t[-1, 0], p[-1, 1] - t[-1, 1]),
+            )
+        yield pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].values,
+                "traj_id": pdf["traj_id"].values,
+                "lb": lbs,
+                "etd": etd,
+            }
+        )
+
+
+def etd_prune(curves: DataFrame, queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
+    """Step 2b: tighten the candidate set with the equal-time distance
+    (F8, detail/bddm/spatial_hash.hpp:253-362 — a linear-time upper bound
+    ~3000x cheaper than the bisection decider). Per query the k-th smallest
+    ETD is a valid radius: >= k curves have δF <= it, so pairs whose
+    endpoint lower bound exceeds it cannot be in the top k."""
+    pairs = _pairs_with_arrays(curves, queries, candidates)
+    n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+    bounds = pairs.repartition(n_slots).mapInPandas(
+        _etd_kernel, schema="query_id long, traj_id long, lb double, etd double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("etd").asc(), F.col("traj_id").asc())
+    ranked = bounds.withColumn("etd_rank", F.row_number().over(w))
+    radius = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("etd_rank") <= k, F.col("etd"))).alias("radius"),
+        F.count("*").alias("n_pairs"),
+    )
+    return (
+        bounds.join(F.broadcast(radius), "query_id")
+        .filter((F.col("n_pairs") <= k) | (F.col("lb") <= F.col("radius")))
+        .select("query_id", "traj_id")
     )
 
 
@@ -60,7 +195,7 @@ def _pairs_with_arrays(
         F.col("ys").alias("q_ys"),
     )
     t = curves.select("traj_id", "xs", "ys")
-    return pair_ids.join(q, "query_id").join(t, "traj_id").select(
+    return pair_ids.join(F.broadcast(q), "query_id").join(t, "traj_id").select(
         "query_id", "traj_id", "q_xs", "q_ys", "xs", "ys"
     )
 
@@ -69,61 +204,20 @@ def knn_frechet(
     curves: DataFrame,
     queries: DataFrame,
     k: int,
-    mesh: float,
-    eps0: float = 1.0,
-    max_rounds: int = 8,
+    mesh: float | None = None,
+    eps0: float | None = None,
+    max_rounds: int | None = None,
 ) -> DataFrame:
     """(query_id, traj_id, distance, rank): the k nearest trajectories per
     query by continuous Fréchet distance (self excluded), exact. Ties break
-    by traj_id ascending."""
-    spark = curves.sparkSession
-    index_df, meta = build_grid_index(curves, mesh)
-    # Each eps-doubling round is a separate Spark action over the SAME
-    # index; persist so rounds don't re-run the curve-assembly lineage
-    # (at cluster scale this is the pre-written, cell-partitioned index
-    # table, so persistence is the read cache for free).
-    index_df = index_df.persist()
-    queries = queries.persist()
-    remaining = queries
-    candidate_frames = []
-    eps = float(eps0)
-    for _ in range(max_rounds):
-        if remaining.isEmpty():
-            break
-        matches = (
-            range_query_grid(index_df, remaining, eps, meta)
-            .filter(F.col("query_id") != F.col("traj_id"))
-            .persist()
-        )
-        counts = matches.groupBy("query_id").agg(F.count("*").alias("n"))
-        done_ids = [r["query_id"] for r in counts.filter(F.col("n") >= k).collect()]
-        if done_ids:
-            done = matches.join(
-                spark.createDataFrame(
-                    [(i,) for i in done_ids], "query_id long"
-                ),
-                "query_id",
-                "left_semi",
-            )
-            candidate_frames.append(done)
-            remaining = remaining.join(
-                spark.createDataFrame([(i,) for i in done_ids], "traj_id long"),
-                "traj_id",
-                "left_anti",
-            )
-        eps *= 2.0
-    if not remaining.isEmpty():
-        # fallback: all curves are candidates for the stragglers
-        rest = (
-            remaining.select(F.col("traj_id").alias("query_id"))
-            .crossJoin(curves.select("traj_id"))
-            .filter(F.col("query_id") != F.col("traj_id"))
-        )
-        candidate_frames.append(rest)
-    candidates = candidate_frames[0]
-    for f in candidate_frames[1:]:
-        candidates = candidates.unionAll(f)
-    pairs = _pairs_with_arrays(curves, queries, candidates.distinct())
+    by traj_id ascending.
+
+    ``mesh``/``eps0``/``max_rounds`` are accepted for backward
+    compatibility with the earlier eps-doubling implementation and ignored:
+    the bound-and-prune pass needs no tuning parameters."""
+    candidates = knn_candidates(curves, queries, k)
+    survivors = etd_prune(curves, queries, candidates, k)
+    pairs = _pairs_with_arrays(curves, queries, survivors)
     dists = frechet_distances(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("traj_id").asc()
@@ -131,5 +225,7 @@ def knn_frechet(
     return (
         dists.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "traj_id", "distance", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "query_id", "traj_id", "distance", F.col("rank").cast("long").alias("rank")
+        )
     )

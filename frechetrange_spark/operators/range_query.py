@@ -173,7 +173,12 @@ def range_query_grid(
         "xs",
         "ys",
     )
-    refined = to_refine.mapInPandas(
+    # Round-robin repartition before the Arrow kernel: the refine input is
+    # small in BYTES but heavy in per-row CPU (free-space DP), so AQE's
+    # byte-based coalescing would funnel it into one task. Explicit
+    # repartition(n) is exempt from AQE coalescing and balances pair costs.
+    n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
+    refined = to_refine.repartition(n_slots).mapInPandas(
         _refine_map(eps), schema="query_id long, traj_id long"
     )
     return accepted.unionAll(refined)
@@ -205,4 +210,7 @@ def range_query_bruteforce(
                     keep.append(i)
             yield pdf.iloc[keep][["query_id", "traj_id"]]
 
-    return pairs.mapInPandas(fn, schema="query_id long, traj_id long")
+    n_slots = 2 * curves.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n_slots).mapInPandas(
+        fn, schema="query_id long, traj_id long"
+    )
