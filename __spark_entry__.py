@@ -102,10 +102,19 @@ def _q_endpoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir)
+    curves = _curves(spark, sf_dir).persist()
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, queries, EPS, meta)
+
+
+def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIS-Cup-style batch workload: EVERY trajectory is a query (range
+    self-join at eps) — the compute-dominated flagship used for scaling
+    evidence. Returns (query_id, traj_id) match pairs."""
+    curves = _curves(spark, sf_dir).persist()
+    index_df, meta = build_grid_index(curves, MESH, corner="min_min")
+    return range_query_grid(index_df, curves, EPS, meta)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -121,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_candidates": _q_grid_candidates,
         "endpoint_candidates": _q_endpoint_candidates,
         "range_query": _q_range_query,  # exact decider: rows-only check
+        "range_self_join": _q_range_self_join,  # exact decider: rows-only check
         # web-text pipeline
         "token_stats": lambda s, d: textql.token_stats(_docs(s, d)),
         "lang_id": lambda s, d: textql.language_id(_docs(s, d)),

@@ -1,0 +1,438 @@
+"""Pair-batched Fréchet kernels: decide and distance over B pairs at once.
+
+The scalar decider (`core.decide_frechet`) mirrors the reference's dv
+column sweep (detail/dv/frechet_distance.hpp:221-373) and costs ~n*m
+Python-level loop steps per pair. Here the SAME sweep runs once per batch
+with every step vectorized over the batch axis, so the Python-loop cost is
+amortized over all pairs in an Arrow batch (~50-100x per-pair speedup on
+55-point curves).
+
+Padding trick: a polyline is unchanged by repeating its last vertex, so
+curves are padded to the batch max length with copies of their final
+point — no masking, no semantic drift; degenerate (zero-length) segments
+take the reference's a==0 branch of the line–circle interval solve
+(detail/dv/frechet_distance.hpp:409-415). Agreement with the scalar
+kernel (and hence the reference semantics) is property-tested in
+tests/test_kernels.py.
+
+Decisions use per-pair eps, which also gives a batched bisection for the
+distance value (K12, samples/plain.cpp:47-60): all pairs bisect in
+lockstep on their own brackets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from frechetrange_spark.kernels.core import equal_time_distance
+
+_INF = np.inf
+
+
+def size_buckets(
+    ps: list[np.ndarray], qs: list[np.ndarray], chunk: int = 2048
+) -> list[np.ndarray]:
+    """Index groups sorted by (len(p)+len(q)) and chunked, so each padded
+    sub-batch wastes little on length variance."""
+    order = np.argsort(
+        np.fromiter((p.shape[0] + q.shape[0] for p, q in zip(ps, qs)), dtype=np.int64)
+    )
+    return [order[i : i + chunk] for i in range(0, len(order), chunk)]
+
+
+def pad_curves(curves: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Stack (n_i, 2) curves into (B, N, 2), padding with the last vertex.
+    Returns (padded, lengths)."""
+    lens = np.fromiter((c.shape[0] for c in curves), dtype=np.int64, count=len(curves))
+    n_max = int(lens.max())
+    out = np.empty((len(curves), n_max, 2), dtype=np.float64)
+    for i, c in enumerate(curves):
+        k = c.shape[0]
+        out[i, :k] = c
+        if k < n_max:
+            out[i, k:] = c[k - 1]
+    return out, lens
+
+
+def _solve_quadratic_interval_2d(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Elementwise a*t^2 + b*t + c <= 0 clipped to [0,1] over (B, K) arrays;
+    empty -> (+inf, -inf). Same semantics as core._solve_quadratic_interval,
+    branch-free (no boolean fancy indexing — every path is a flat where)."""
+    a = np.broadcast_to(a, c.shape)
+    b = np.broadcast_to(b, c.shape)
+    nd = a > 0.0
+    disc = b * b - 4.0 * a * c
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    den = 0.5 / np.where(nd, a, 1.0)
+    t1 = (-b - sq) * den
+    t2 = (-b + sq) * den
+    okr = nd & (disc >= 0.0) & (t1 <= 1.0) & (t2 >= 0.0)
+    degen_free = ~nd & (c <= 0.0)
+    lo = np.where(okr, np.minimum(np.maximum(t1, 0.0), 1.0), np.where(degen_free, 0.0, _INF))
+    hi = np.where(okr, np.minimum(np.maximum(t2, 0.0), 1.0), np.where(degen_free, 1.0, -_INF))
+    return lo, hi
+
+
+def _free_point_vs_segments(
+    point: np.ndarray, q: np.ndarray, eps2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """point (B,2) vs segments q[:, j]->q[:, j+1]: (B, M-1) intervals."""
+    s0 = q[:, :-1, :]
+    d = q[:, 1:, :] - s0
+    f = s0 - point[:, None, :]
+    a = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1]
+    b = 2.0 * (f[..., 0] * d[..., 0] + f[..., 1] * d[..., 1])
+    c = f[..., 0] * f[..., 0] + f[..., 1] * f[..., 1] - eps2[:, None]
+    return _solve_quadratic_interval_2d(a, b, c)
+
+
+def _free_segment_vs_points(
+    s0: np.ndarray, s1: np.ndarray, q: np.ndarray, eps2: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """segment s0->s1 ((B,2) each) vs all points of q (B,M,2): (B,M)."""
+    d = s1 - s0  # (B,2)
+    f = s0[:, None, :] - q  # (B,M,2)
+    a = (d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])[:, None]
+    b = 2.0 * (f[..., 0] * d[:, None, 0] + f[..., 1] * d[:, None, 1])
+    c = f[..., 0] * f[..., 0] + f[..., 1] * f[..., 1] - eps2[:, None]
+    return _solve_quadratic_interval_2d(a, b, c)
+
+
+def decide_frechet_batch(
+    p: np.ndarray, q: np.ndarray, eps: np.ndarray
+) -> np.ndarray:
+    """Vectorized decision for B pairs: p (B,N,2), q (B,M,2) last-vertex
+    padded, eps (B,). Returns bool (B,). Exact same accept/reject semantics
+    as core.decide_frechet (strict > endpoint reject, <=-free intervals)."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    eps = np.asarray(eps, dtype=np.float64)
+    B, N = p.shape[0], p.shape[1]
+    M = q.shape[1]
+    eps2 = eps * eps
+
+    def d2(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        d = u - v
+        return d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+
+    # F1 endpoint check (padding preserves endpoints).
+    alive = (d2(p[:, 0], q[:, 0]) <= eps2) & (d2(p[:, -1], q[:, -1]) <= eps2)
+    if N == 1 and M == 1:
+        return alive
+    if N == 1:
+        dd = q - p[:, 0][:, None, :]
+        mx = np.max(dd[..., 0] ** 2 + dd[..., 1] ** 2, axis=1)
+        return alive & (mx <= eps2)
+    if M == 1:
+        dd = p - q[:, 0][:, None, :]
+        mx = np.max(dd[..., 0] ** 2 + dd[..., 1] ** 2, axis=1)
+        return alive & (mx <= eps2)
+
+    # Compact away endpoint-rejected pairs (cheap, and in bisection the
+    # low-eps probes reject most of the batch right here).
+    out = np.zeros(B, dtype=bool)
+    orig_idx = np.nonzero(alive)[0]
+    if orig_idx.size == 0:
+        return out
+    if orig_idx.size < B:
+        p, q, eps2 = p[orig_idx], q[orig_idx], eps2[orig_idx]
+        B = orig_idx.size
+    alive = np.ones(B, dtype=bool)
+
+    # Column-0 left boundary: chain up the left edge from the origin.
+    fl_lo, fl_hi = _free_point_vs_segments(p[:, 0], q, eps2)  # (B, M-1)
+    full = (fl_lo <= 0.0) & (fl_hi >= 1.0)
+    prefix_ok = np.ones((B, M - 1), dtype=bool)
+    if M > 2:
+        prefix_ok[:, 1:] = np.cumprod(full[:, :-1], axis=1).astype(bool)
+    reach = prefix_ok & (fl_lo <= 0.0)
+    lr_lo = np.where(reach, 0.0, _INF)
+    lr_hi = np.where(reach, fl_hi, -_INF)
+
+    bottom_prefix_ok = np.ones(B, dtype=bool)
+    br_lo = np.full((B, M), _INF)
+    fh_hi_top = np.full(B, -_INF)
+
+    for i in range(N - 1):
+        fh_lo, fh_hi = _free_segment_vs_points(p[:, i], p[:, i + 1], q, eps2)
+
+        blo = np.where(bottom_prefix_ok & (fh_lo[:, 0] <= 0.0), 0.0, _INF)
+        bottom_prefix_ok &= (fh_lo[:, 0] <= 0.0) & (fh_hi[:, 0] >= 1.0)
+
+        left_ok = lr_lo <= lr_hi  # (B, M-1)
+        br_lo[:, 0] = blo
+        for j in range(M - 1):
+            via_bottom = np.maximum(fh_lo[:, j + 1], br_lo[:, j])
+            via_bottom = np.where(via_bottom <= fh_hi[:, j + 1], via_bottom, _INF)
+            br_lo[:, j + 1] = np.where(
+                left_ok[:, j],
+                fh_lo[:, j + 1],
+                np.where(br_lo[:, j] <= 1.0, via_bottom, _INF),
+            )
+
+        fh_hi_top = fh_hi[:, M - 1]
+
+        if i == N - 2:
+            break
+
+        fv_lo, fv_hi = _free_point_vs_segments(p[:, i + 1], q, eps2)
+        bottom_ok = br_lo[:, :-1] <= 1.0
+        entry_lo = np.where(bottom_ok, 0.0, np.where(left_ok, lr_lo, _INF))
+        new_lo = np.maximum(fv_lo, entry_lo)
+        dead = new_lo > fv_hi
+        lr_lo = np.where(dead, _INF, new_lo)
+        lr_hi = np.where(dead, -_INF, fv_hi)
+
+        # Early exit (dv:334-337): a pair whose next column has no live
+        # left boundary and whose bottom chain is blocked can never recover.
+        alive &= bottom_prefix_ok | ~dead.all(axis=1)
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            break
+        # Compact the batch when enough pairs are definitively rejected —
+        # the remaining sweep then runs on the survivors only.
+        if n_alive <= B // 2 and B > 64:
+            keep = np.nonzero(alive)[0]
+            orig_idx = orig_idx[keep]
+            p, q, eps2 = p[keep], q[keep], eps2[keep]
+            lr_lo, lr_hi = lr_lo[keep], lr_hi[keep]
+            br_lo = br_lo[keep]
+            bottom_prefix_ok = bottom_prefix_ok[keep]
+            fh_hi_top = fh_hi_top[keep]
+            alive = np.ones(keep.size, dtype=bool)
+            B = keep.size
+
+    # Accept via the top boundary of the last cell...
+    accept = (br_lo[:, M - 1] <= 1.0) & (fh_hi_top >= 1.0)
+    # ...or via the right boundary of the top-right cell.
+    fv_lo, fv_hi = _free_point_vs_segments(p[:, N - 1], q, eps2)
+    j = M - 2
+    left_ok_last = lr_lo[:, j] <= lr_hi[:, j]
+    bottom_ok_last = br_lo[:, j] <= 1.0
+    entry = np.where(bottom_ok_last, 0.0, np.where(left_ok_last, lr_lo[:, j], _INF))
+    rlo = np.maximum(fv_lo[:, j], entry)
+    accept |= (rlo <= fv_hi[:, j]) & (fv_hi[:, j] >= 1.0) & (rlo <= 1.0)
+    out[orig_idx] = alive & accept
+    return out
+
+
+def etd_batch(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched equal-time distance (F8 upper bound, bddm:253-362) over
+    last-vertex-padded stacks p (B,N,2), q (B,M,2). Returns (B,) floats.
+
+    Both curves are traversed at equal relative arc-length speed; the
+    pairwise distance is convex between knot events, so the max over the
+    union of both knot sets is exact. Padding adds zero-length segments,
+    i.e. duplicate knots — harmless under max."""
+    B, N = p.shape[0], p.shape[1]
+    M = q.shape[1]
+    tp = np.zeros((B, N))
+    np.cumsum(
+        np.sqrt(np.sum(np.diff(p, axis=1) ** 2, axis=2)), axis=1, out=tp[:, 1:]
+    )
+    tq = np.zeros((B, M))
+    np.cumsum(
+        np.sqrt(np.sum(np.diff(q, axis=1) ** 2, axis=2)), axis=1, out=tq[:, 1:]
+    )
+    lp = tp[:, -1:]
+    lq = tq[:, -1:]
+    rp = np.divide(tp, lp, out=np.zeros_like(tp), where=lp > 0.0)
+    rq = np.divide(tq, lq, out=np.zeros_like(tq), where=lq > 0.0)
+    rp[:, -1] = np.where(lp[:, 0] > 0.0, 1.0, 0.0)
+    rq[:, -1] = np.where(lq[:, 0] > 0.0, 1.0, 0.0)
+
+    # Merge both knot sets: stable argsort over the concatenation puts
+    # rp-knots before equal rq-knots, so running counts give, per merged
+    # event time, the index of the last knot <= t on each curve — a
+    # vectorized merge, no per-pair searchsorted.
+    both = np.concatenate([rp, rq], axis=1)  # (B, N+M)
+    order = np.argsort(both, axis=1, kind="stable")
+    times = np.take_along_axis(both, order, axis=1)
+    from_p = order < N
+    jp = np.clip(np.cumsum(from_p, axis=1) - 1, 0, max(N - 2, 0))
+    jq = np.clip(np.cumsum(~from_p, axis=1) - 1, 0, max(M - 2, 0))
+
+    def sample(knots: np.ndarray, xy: np.ndarray, j: np.ndarray) -> np.ndarray:
+        k0 = np.take_along_axis(knots, j, axis=1)
+        k1 = np.take_along_axis(knots, np.minimum(j + 1, knots.shape[1] - 1), axis=1)
+        den = k1 - k0
+        frac = np.divide(times - k0, den, out=np.zeros_like(times), where=den > 0.0)
+        frac = np.clip(frac, 0.0, 1.0)
+        out = np.empty((knots.shape[0], times.shape[1], 2))
+        for d in range(2):
+            v0 = np.take_along_axis(xy[:, :, d], j, axis=1)
+            v1 = np.take_along_axis(
+                xy[:, :, d], np.minimum(j + 1, knots.shape[1] - 1), axis=1
+            )
+            out[:, :, d] = v0 + frac * (v1 - v0)
+        return out
+
+    pe = sample(rp, p, jp)
+    qe = sample(rq, q, jq)
+    d2 = np.sum((pe - qe) ** 2, axis=2)
+    return np.sqrt(d2.max(axis=1))
+
+
+def _list_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_values, absolute_offsets) of a pyarrow ListArray — zero-copy."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.values.to_numpy(), arr.offsets.to_numpy().astype(np.int64)
+
+
+def _padded_gather(
+    flat: np.ndarray, off: np.ndarray, rows: np.ndarray, width: int
+) -> np.ndarray:
+    """(len(rows), width) matrix: row r = flat[off[r]:off[r+1]] padded by
+    repeating its last element (clip on the gather index — vectorized,
+    no per-row allocation)."""
+    lens = off[rows + 1] - off[rows]
+    idx = off[rows, None] + np.minimum(np.arange(width)[None, :], (lens - 1)[:, None])
+    return flat[idx]
+
+
+def decide_pairs_arrow(
+    qxs, qys, xs, ys, eps, chunk: int = 4096, etd_accept: bool = True
+) -> np.ndarray:
+    """Batched decision straight from pyarrow list columns (B rows), with
+    size-bucketed padding. Returns bool (B,).
+
+    ``etd_accept``: run the batched equal-time-distance upper bound first
+    (F8) — pairs with ETD <= eps are accepted without the O(N*M) sweep.
+    The decider answers identically; this only changes cost (accept-heavy
+    workloads skip the full diagram for most pairs)."""
+    fqx, oqx = _list_buffers(qxs)
+    fqy, oqy = _list_buffers(qys)
+    ftx, otx = _list_buffers(xs)
+    fty, oty = _list_buffers(ys)
+    B = len(oqx) - 1
+    out = np.zeros(B, dtype=bool)
+    if B == 0:
+        return out
+    eps_arr = np.broadcast_to(np.asarray(eps, dtype=np.float64), (B,))
+    lens_p = np.diff(oqx)
+    lens_t = np.diff(otx)
+    order = np.argsort(lens_p + lens_t)
+    for s in range(0, B, chunk):
+        rows = order[s : s + chunk]
+        wp = int(lens_p[rows].max())
+        wt = int(lens_t[rows].max())
+        p = np.stack(
+            [_padded_gather(fqx, oqx, rows, wp), _padded_gather(fqy, oqy, rows, wp)],
+            axis=-1,
+        )
+        t = np.stack(
+            [_padded_gather(ftx, otx, rows, wt), _padded_gather(fty, oty, rows, wt)],
+            axis=-1,
+        )
+        res = np.zeros(rows.size, dtype=bool)
+        todo = np.arange(rows.size)
+        if etd_accept:
+            res = etd_batch(p, t) <= eps_arr[rows]
+            todo = np.nonzero(~res)[0]
+        if todo.size:
+            res[todo] = decide_frechet_batch(p[todo], t[todo], eps_arr[rows][todo])
+        out[rows] = res
+    return out
+
+
+def distance_pairs_arrow(qxs, qys, xs, ys, chunk: int = 2048) -> np.ndarray:
+    """Batched bisection distance straight from pyarrow list columns."""
+    fqx, oqx = _list_buffers(qxs)
+    fqy, oqy = _list_buffers(qys)
+    ftx, otx = _list_buffers(xs)
+    fty, oty = _list_buffers(ys)
+    B = len(oqx) - 1
+    out = np.empty(B, dtype=np.float64)
+    if B == 0:
+        return out
+    ps = [
+        np.column_stack([fqx[oqx[i] : oqx[i + 1]], fqy[oqy[i] : oqy[i + 1]]])
+        for i in range(B)
+    ]
+    ts = [
+        np.column_stack([ftx[otx[i] : otx[i + 1]], fty[oty[i] : oty[i + 1]]])
+        for i in range(B)
+    ]
+    return frechet_distance_pairs(ps, ts)
+
+
+def decide_frechet_pairs(
+    ps: list[np.ndarray], qs: list[np.ndarray], eps: np.ndarray | float
+) -> np.ndarray:
+    """Convenience driver over ragged pair lists: size-bucket, pad, decide.
+    Returns bool (B,)."""
+    B = len(ps)
+    out = np.zeros(B, dtype=bool)
+    if B == 0:
+        return out
+    eps_arr = np.broadcast_to(np.asarray(eps, dtype=np.float64), (B,))
+    for idx in size_buckets(ps, qs):
+        p, _ = pad_curves([ps[i] for i in idx])
+        q, _ = pad_curves([qs[i] for i in idx])
+        out[idx] = decide_frechet_batch(p, q, eps_arr[idx])
+    return out
+
+
+def frechet_distance_pairs(
+    ps: list[np.ndarray],
+    qs: list[np.ndarray],
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-12,
+) -> np.ndarray:
+    """Size-bucketed batched distance values over ragged pair lists."""
+    B = len(ps)
+    out = np.empty(B, dtype=np.float64)
+    if B == 0:
+        return out
+    for idx in size_buckets(ps, qs):
+        out[idx] = frechet_distance_batch(
+            [ps[i] for i in idx], [qs[i] for i in idx], rel_tol, abs_tol
+        )
+    return out
+
+
+def frechet_distance_batch(
+    ps: list[np.ndarray],
+    qs: list[np.ndarray],
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-12,
+) -> np.ndarray:
+    """Fréchet distance values for B pairs via lockstep bisection over the
+    batched decider. Brackets: lo = max endpoint distance (a lower bound),
+    hi = equal-time distance (upper bound, F8). Same tolerances and
+    semantics as core.frechet_distance."""
+    B = len(ps)
+    p, _ = pad_curves([np.asarray(c, dtype=np.float64) for c in ps])
+    q, _ = pad_curves([np.asarray(c, dtype=np.float64) for c in qs])
+
+    lo = np.maximum(
+        np.hypot(p[:, 0, 0] - q[:, 0, 0], p[:, 0, 1] - q[:, 0, 1]),
+        np.hypot(p[:, -1, 0] - q[:, -1, 0], p[:, -1, 1] - q[:, -1, 1]),
+    )
+    hi = np.empty(B, dtype=np.float64)
+    for i in range(B):
+        hi[i] = equal_time_distance(ps[i], qs[i])
+    hi = np.maximum(hi, lo)
+
+    out = np.where(hi <= lo, lo, np.nan)
+    # pairs already decided at their lower bound collapse to lo
+    at_lo = decide_frechet_batch(p, q, lo)
+    out = np.where(np.isnan(out) & at_lo, lo, out)
+
+    active = np.isnan(out)
+    while active.any():
+        conv = active & (hi - lo <= abs_tol + rel_tol * hi)
+        out = np.where(conv, hi, out)
+        active &= ~conv
+        if not active.any():
+            break
+        mid = np.where(active, 0.5 * (lo + hi), lo)
+        yes = decide_frechet_batch(p, q, mid)
+        hi = np.where(active & yes, mid, hi)
+        lo = np.where(active & ~yes, mid, lo)
+    return out

@@ -38,23 +38,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _distance_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from frechetrange_spark.kernels import frechet_distance
+def _distance_kernel(batches):
+    import pyarrow as pa
 
-    for pdf in batches:
-        dists = np.empty(len(pdf), dtype=np.float64)
-        for i, (qxs, qys, xs, ys) in enumerate(
-            zip(pdf["q_xs"], pdf["q_ys"], pdf["xs"], pdf["ys"])
-        ):
-            p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
-            t = np.column_stack([np.asarray(xs), np.asarray(ys)])
-            dists[i] = frechet_distance(p, t)
-        yield pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].values,
-                "traj_id": pdf["traj_id"].values,
-                "distance": dists,
-            }
+    from frechetrange_spark.kernels.batch import distance_pairs_arrow
+
+    for rb in batches:
+        dists = distance_pairs_arrow(
+            rb.column("q_xs"), rb.column("q_ys"), rb.column("xs"), rb.column("ys")
+        )
+        yield pa.RecordBatch.from_arrays(
+            [rb.column("query_id"), rb.column("traj_id"), pa.array(dists)],
+            ["query_id", "traj_id", "distance"],
         )
 
 
@@ -65,7 +60,7 @@ def frechet_distances(pairs: DataFrame) -> DataFrame:
     but expensive in CPU, so byte-based AQE coalescing must not funnel them
     into few tasks."""
     n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
-    return pairs.repartition(n_slots).mapInPandas(
+    return pairs.repartition(n_slots).mapInArrow(
         _distance_kernel, schema="query_id long, traj_id long, distance double"
     )
 
@@ -136,29 +131,36 @@ def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _etd_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    from frechetrange_spark.kernels import equal_time_distance
+def _etd_kernel(batches):
+    import pyarrow as pa
 
-    for pdf in batches:
-        etd = np.empty(len(pdf), dtype=np.float64)
-        lbs = np.empty(len(pdf), dtype=np.float64)
-        for i, (qxs, qys, xs, ys) in enumerate(
-            zip(pdf["q_xs"], pdf["q_ys"], pdf["xs"], pdf["ys"])
-        ):
-            p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
-            t = np.column_stack([np.asarray(xs), np.asarray(ys)])
+    from frechetrange_spark.kernels import equal_time_distance
+    from frechetrange_spark.kernels.batch import _list_buffers
+
+    for rb in batches:
+        fqx, oqx = _list_buffers(rb.column("q_xs"))
+        fqy, oqy = _list_buffers(rb.column("q_ys"))
+        ftx, otx = _list_buffers(rb.column("xs"))
+        fty, oty = _list_buffers(rb.column("ys"))
+        B = len(oqx) - 1
+        etd = np.empty(B, dtype=np.float64)
+        lbs = np.empty(B, dtype=np.float64)
+        for i in range(B):
+            p = np.column_stack([fqx[oqx[i] : oqx[i + 1]], fqy[oqy[i] : oqy[i + 1]]])
+            t = np.column_stack([ftx[otx[i] : otx[i + 1]], fty[oty[i] : oty[i + 1]]])
             etd[i] = equal_time_distance(p, t)
             lbs[i] = max(
                 np.hypot(p[0, 0] - t[0, 0], p[0, 1] - t[0, 1]),
                 np.hypot(p[-1, 0] - t[-1, 0], p[-1, 1] - t[-1, 1]),
             )
-        yield pd.DataFrame(
-            {
-                "query_id": pdf["query_id"].values,
-                "traj_id": pdf["traj_id"].values,
-                "lb": lbs,
-                "etd": etd,
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                rb.column("query_id"),
+                rb.column("traj_id"),
+                pa.array(lbs),
+                pa.array(etd),
+            ],
+            ["query_id", "traj_id", "lb", "etd"],
         )
 
 
@@ -170,7 +172,7 @@ def etd_prune(curves: DataFrame, queries: DataFrame, candidates: DataFrame, k: i
     endpoint lower bound exceeds it cannot be in the top k."""
     pairs = _pairs_with_arrays(curves, queries, candidates)
     n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
-    bounds = pairs.repartition(n_slots).mapInPandas(
+    bounds = pairs.repartition(n_slots).mapInArrow(
         _etd_kernel, schema="query_id long, traj_id long, lb double, etd double"
     )
     w = Window.partitionBy("query_id").orderBy(F.col("etd").asc(), F.col("traj_id").asc())
@@ -215,6 +217,10 @@ def knn_frechet(
     ``mesh``/``eps0``/``max_rounds`` are accepted for backward
     compatibility with the earlier eps-doubling implementation and ignored:
     the bound-and-prune pass needs no tuning parameters."""
+    # curves feed three plan branches (scalar features, ETD arrays, final
+    # arrays); persist so the assembly lineage runs once.
+    curves = curves.persist()
+    queries = queries.persist()
     candidates = knn_candidates(curves, queries, k)
     survivors = etd_prune(curves, queries, candidates, k)
     pairs = _pairs_with_arrays(curves, queries, survivors)

@@ -127,30 +127,30 @@ def grid_candidates(
 
 
 def _refine_map(eps: float):
-    from frechetrange_spark.kernels import decide_frechet, equal_time_distance
+    """Arrow-native refine: the exact decider (K5) batched over every pair
+    in each RecordBatch — list buffers are gathered into padded (B, N, 2)
+    matrices with zero per-row Python objects (see kernels.batch)."""
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_q, out_t = [], []
-            for qid, tid, qxs, qys, xs, ys in zip(
-                pdf["query_id"].values,
-                pdf["traj_id"].values,
-                pdf["q_xs"].values,
-                pdf["q_ys"].values,
-                pdf["xs"].values,
-                pdf["ys"].values,
-            ):
-                p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
-                t = np.column_stack([np.asarray(xs), np.asarray(ys)])
-                # F8-style cheap accept, then the exact decider (K5)
-                if equal_time_distance(p, t) <= eps or decide_frechet(p, t, eps):
-                    out_q.append(qid)
-                    out_t.append(tid)
-            yield pd.DataFrame(
-                {
-                    "query_id": pd.Series(out_q, dtype="int64"),
-                    "traj_id": pd.Series(out_t, dtype="int64"),
-                }
+    def fn(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import decide_pairs_arrow
+
+        for rb in batches:
+            keep = decide_pairs_arrow(
+                rb.column("q_xs"),
+                rb.column("q_ys"),
+                rb.column("xs"),
+                rb.column("ys"),
+                eps,
+            )
+            idx = np.nonzero(keep)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("query_id").take(pa.array(idx)),
+                    rb.column("traj_id").take(pa.array(idx)),
+                ],
+                ["query_id", "traj_id"],
             )
 
     return fn
@@ -178,7 +178,7 @@ def range_query_grid(
     # byte-based coalescing would funnel it into one task. Explicit
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
     n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
-    refined = to_refine.repartition(n_slots).mapInPandas(
+    refined = to_refine.repartition(n_slots).mapInArrow(
         _refine_map(eps), schema="query_id long, traj_id long"
     )
     return accepted.unionAll(refined)
@@ -196,21 +196,7 @@ def range_query_bruteforce(
         F.col("q_traj_id").alias("query_id"), "traj_id", "q_xs", "q_ys", "xs", "ys"
     )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from frechetrange_spark.kernels import decide_frechet
-
-        for pdf in batches:
-            keep = []
-            for i, (qxs, qys, xs, ys) in enumerate(
-                zip(pdf["q_xs"], pdf["q_ys"], pdf["xs"], pdf["ys"])
-            ):
-                p = np.column_stack([np.asarray(qxs), np.asarray(qys)])
-                t = np.column_stack([np.asarray(xs), np.asarray(ys)])
-                if decide_frechet(p, t, eps):
-                    keep.append(i)
-            yield pdf.iloc[keep][["query_id", "traj_id"]]
-
     n_slots = 2 * curves.sparkSession.sparkContext.defaultParallelism
-    return pairs.repartition(n_slots).mapInPandas(
-        fn, schema="query_id long, traj_id long"
+    return pairs.repartition(n_slots).mapInArrow(
+        _refine_map(eps), schema="query_id long, traj_id long"
     )

@@ -198,3 +198,56 @@ def test_hypothesis_decide_consistent_with_value(pa, pb):
     assert decide_frechet(a, b, d + max(1e-6, d * 1e-6))
     if d > 1e-5:
         assert not decide_frechet(a, b, d * 0.999 - 1e-9)
+
+
+class TestBatchKernels:
+    """Pair-batched kernels must agree exactly with the scalar ones
+    (the scalar ones carry the reference-parity semantics)."""
+
+    def test_decide_batch_agrees_with_scalar(self):
+        from frechetrange_spark.kernels.batch import decide_frechet_pairs
+
+        rng = np.random.default_rng(11)
+        ps, qs, eps = [], [], []
+        for _ in range(300):
+            n, m = rng.integers(1, 70), rng.integers(1, 70)
+            p = np.cumsum(rng.normal(size=(n, 2)), axis=0)
+            q = np.cumsum(rng.normal(size=(m, 2)), axis=0) + rng.normal(scale=2, size=2)
+            if n > 3 and rng.random() < 0.25:
+                p[2] = p[1]  # consecutive duplicate point
+            ps.append(p)
+            qs.append(q)
+            eps.append(rng.uniform(0.3, 12.0))
+        eps = np.array(eps)
+        got = decide_frechet_pairs(ps, qs, eps)
+        exp = np.array([decide_frechet(p, q, e) for p, q, e in zip(ps, qs, eps)])
+        assert (got == exp).all()
+
+    def test_decide_batch_near_critical_eps(self):
+        from frechetrange_spark.kernels.batch import decide_frechet_pairs
+
+        rng = np.random.default_rng(12)
+        ps = [np.cumsum(rng.normal(size=(rng.integers(2, 40), 2)), axis=0) for _ in range(80)]
+        qs = [np.cumsum(rng.normal(size=(rng.integers(2, 40), 2)), axis=0) for _ in range(80)]
+        d = np.array([frechet_distance(p, q) for p, q in zip(ps, qs)])
+        assert decide_frechet_pairs(ps, qs, d * 1.0001 + 1e-9).all()
+        assert not decide_frechet_pairs(ps, qs, np.maximum(d * 0.999 - 1e-9, 0.0)).any()
+
+    def test_distance_batch_agrees_with_scalar(self):
+        from frechetrange_spark.kernels.batch import frechet_distance_pairs
+
+        rng = np.random.default_rng(13)
+        ps = [np.cumsum(rng.normal(size=(rng.integers(2, 50), 2)), axis=0) for _ in range(60)]
+        qs = [np.cumsum(rng.normal(size=(rng.integers(2, 50), 2)), axis=0) for _ in range(60)]
+        got = frechet_distance_pairs(ps, qs)
+        exp = np.array([frechet_distance(p, q) for p, q in zip(ps, qs)])
+        np.testing.assert_allclose(got, exp, rtol=1e-7, atol=1e-9)
+
+    def test_known_answer_through_batch(self):
+        from frechetrange_spark.kernels.batch import decide_frechet_pairs
+
+        # python-package/test.py:11-19 — delta_F = 3
+        t1 = np.array([[1.0, 0.0], [2.0, 0.0], [4.0, 0.0], [5.0, 0.0]])
+        t2 = np.array([[1.0, 0.0], [3.0, 3.0], [5.0, 0.0]])
+        assert decide_frechet_pairs([t1], [t2], np.array([3.01]))[0]
+        assert not decide_frechet_pairs([t1], [t2], np.array([2.99]))[0]
