@@ -29,6 +29,7 @@ from frechetrange_spark.operators.range_query import (
     grid_candidates,
     range_query_grid,
 )
+from frechetrange_spark.operators.simplifications import enrich_with_simplifications
 from frechetrange_spark.sources.trajectories import (
     assemble_curves,
     trajectory_points,
@@ -102,7 +103,9 @@ def _q_endpoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir).persist()
+    curves = enrich_with_simplifications(
+        _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+    ).persist()
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, queries, EPS, meta)
@@ -112,7 +115,9 @@ def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIS-Cup-style batch workload: EVERY trajectory is a query (range
     self-join at eps) — the compute-dominated flagship used for scaling
     evidence. Returns (query_id, traj_id) match pairs."""
-    curves = _curves(spark, sf_dir).persist()
+    curves = enrich_with_simplifications(
+        _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+    ).persist()
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, curves, EPS, meta)
 

@@ -126,25 +126,77 @@ def grid_candidates(
     return joined.filter(f2 & f1).withColumn("accept_f3", f3)
 
 
-def _refine_map(eps: float):
+def _refine_map(eps: float, simp_levels: int = 0):
     """Arrow-native refine: the exact decider (K5) batched over every pair
     in each RecordBatch — list buffers are gathered into padded (B, N, 2)
-    matrices with zero per-row Python objects (see kernels.batch)."""
+    matrices with zero per-row Python objects (see kernels.batch).
+
+    With ``simp_levels > 0`` the bddm simplification funnel (F9,
+    detail/bddm/spatial_hash.hpp:771-821) runs first: per level i, compare
+    the two stored Agarwal simplifications with ETD and the exact decider
+    at eps -/+ (simpEps_Q + simpEps_T); YES below the lower bound, NO above
+    the upper bound (exact by the triangle inequality since
+    frechet(simp, orig) <= simpEps), MAYBE falls through to the next level
+    and finally to the full-resolution ETD accept (F8, :828-840) + decider
+    (:846-856). The whole funnel is batched per Arrow batch — no shuffles
+    between stages."""
 
     def fn(batches):
         import pyarrow as pa
 
-        from frechetrange_spark.kernels.batch import decide_pairs_arrow
+        from frechetrange_spark.kernels.batch import (
+            _list_buffers,
+            _padded_gather,
+            decide_frechet_batch,
+            decide_pairs_arrow,
+            etd_batch,
+        )
+
+        def padded_pair(rb, xcol, ycol, rows):
+            fx, ox = _list_buffers(rb.column(xcol))
+            fy, oy = _list_buffers(rb.column(ycol))
+            lens = ox[rows + 1] - ox[rows]
+            w = int(lens.max()) if rows.size else 1
+            return np.stack(
+                [_padded_gather(fx, ox, rows, w), _padded_gather(fy, oy, rows, w)],
+                axis=-1,
+            )
 
         for rb in batches:
-            keep = decide_pairs_arrow(
-                rb.column("q_xs"),
-                rb.column("q_ys"),
-                rb.column("xs"),
-                rb.column("ys"),
-                eps,
-            )
-            idx = np.nonzero(keep)[0]
+            B = rb.num_rows
+            result = np.zeros(B, dtype=bool)
+            und = np.arange(B)
+            for i in range(simp_levels):
+                if und.size == 0:
+                    break
+                q_eps = rb.column(f"q_s{i}_eps").to_numpy(zero_copy_only=False)[und]
+                t_eps = rb.column(f"s{i}_eps").to_numpy(zero_copy_only=False)[und]
+                eps_l = eps - q_eps - t_eps
+                eps_u = eps + q_eps + t_eps
+                sq = padded_pair(rb, f"q_s{i}_xs", f"q_s{i}_ys", und)
+                st = padded_pair(rb, f"s{i}_xs", f"s{i}_ys", und)
+                d = etd_batch(sq, st)
+                yes = d < eps_l  # strict, bddm:792
+                todo = np.nonzero(~yes & (eps_l > 0.0))[0]
+                if todo.size:
+                    yes[todo] = decide_frechet_batch(sq[todo], st[todo], eps_l[todo])
+                no = np.zeros(und.size, dtype=bool)
+                todo = np.nonzero(~yes & (eps_u > 0.0))[0]
+                if todo.size:
+                    no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
+                result[und[yes]] = True
+                und = und[~yes & ~no]
+            if und.size:
+                # full-resolution fallback (ETD accept inside)
+                sub = rb.take(pa.array(und))
+                result[und] = decide_pairs_arrow(
+                    sub.column("q_xs"),
+                    sub.column("q_ys"),
+                    sub.column("xs"),
+                    sub.column("ys"),
+                    eps,
+                )
+            idx = np.nonzero(result)[0]
             yield pa.RecordBatch.from_arrays(
                 [
                     rb.column("query_id").take(pa.array(idx)),
@@ -165,6 +217,20 @@ def range_query_grid(
     accepted = cand.filter("accept_f3").select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
     )
+    # funnel columns (Agarwal simplifications) ride along when the index
+    # was enriched on BOTH sides
+    simp_levels = 0
+    extra = []
+    while f"s{simp_levels}_eps" in cand.columns and f"q_s{simp_levels}_eps" in cand.columns:
+        extra += [
+            f"q_s{simp_levels}_xs",
+            f"q_s{simp_levels}_ys",
+            f"q_s{simp_levels}_eps",
+            f"s{simp_levels}_xs",
+            f"s{simp_levels}_ys",
+            f"s{simp_levels}_eps",
+        ]
+        simp_levels += 1
     to_refine = cand.filter(~F.col("accept_f3")).select(
         F.col("q_traj_id").alias("query_id"),
         "traj_id",
@@ -172,6 +238,7 @@ def range_query_grid(
         F.col("q_ys"),
         "xs",
         "ys",
+        *[F.col(c) for c in extra],
     )
     # Round-robin repartition before the Arrow kernel: the refine input is
     # small in BYTES but heavy in per-row CPU (free-space DP), so AQE's
@@ -179,7 +246,7 @@ def range_query_grid(
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
     n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
     refined = to_refine.repartition(n_slots).mapInArrow(
-        _refine_map(eps), schema="query_id long, traj_id long"
+        _refine_map(eps, simp_levels), schema="query_id long, traj_id long"
     )
     return accepted.unionAll(refined)
 

@@ -1,0 +1,103 @@
+"""Index-build enrichment: per-curve Agarwal simplifications (S5/K8/K10)
+stored as array columns, and the query-time simplification funnel columns.
+
+Reference lifecycle (SURVEY §3.3): ``spatial_hash::build_index`` runs
+``construct_simplifications`` over every dataset curve
+(detail/bddm/spatial_hash.hpp:702-736); each curve gets NUM_SIMPLIFICATIONS
+levels. In Spark this is one Arrow kernel pass over the curves table at
+index-build time; the simplifications become ordinary columns
+(s{i}_xs, s{i}_ys, s{i}_eps) that ride through the candidate join into the
+refine kernel — the funnel then never needs a second shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+from frechetrange_spark.kernels.simplify import NUM_LEVELS, simplification_levels
+
+
+def dataset_diagonal(curves: DataFrame) -> float:
+    """A3 global bbox diagonal (bddm:727-735): one tiny aggregate."""
+    row = curves.agg(
+        F.min("min_x").alias("x0"),
+        F.max("max_x").alias("x1"),
+        F.min("min_y").alias("y0"),
+        F.max("max_y").alias("y1"),
+    ).first()
+    return float(np.hypot(row["x1"] - row["x0"], row["y1"] - row["y0"]))
+
+
+def simp_cols(levels: int = NUM_LEVELS) -> list[str]:
+    out = []
+    for i in range(levels):
+        out += [f"s{i}_xs", f"s{i}_ys", f"s{i}_eps"]
+    return out
+
+
+def enrich_with_simplifications(
+    curves: DataFrame,
+    diagonal: float | None = None,
+    levels: int = NUM_LEVELS,
+    fractions: tuple[float, ...] | None = None,
+    min_pts: int = 20,
+) -> DataFrame:
+    """Append s{i}_xs / s{i}_ys / s{i}_eps columns (i < levels) to a curves
+    DataFrame (requires xs/ys plus the MBR columns)."""
+    if diagonal is None:
+        diagonal = dataset_diagonal(curves)
+    diagonal = float(diagonal)
+    if fractions is None:
+        from frechetrange_spark.kernels.simplify import TARGET_FRACTIONS
+
+        fractions = TARGET_FRACTIONS
+
+    in_fields = list(curves.schema.fields)
+    out_schema = StructType(
+        in_fields
+        + [
+            f
+            for i in range(levels)
+            for f in (
+                StructField(f"s{i}_xs", ArrayType(DoubleType(), False), False),
+                StructField(f"s{i}_ys", ArrayType(DoubleType(), False), False),
+                StructField(f"s{i}_eps", DoubleType(), False),
+            )
+        ]
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import _list_buffers
+
+        for rb in batches:
+            fx, ox = _list_buffers(rb.column("xs"))
+            fy, oy = _list_buffers(rb.column("ys"))
+            B = rb.num_rows
+            per_level_x = [[] for _ in range(levels)]
+            per_level_y = [[] for _ in range(levels)]
+            per_level_e = [np.empty(B) for _ in range(levels)]
+            for r in range(B):
+                curve = np.column_stack([fx[ox[r] : ox[r + 1]], fy[oy[r] : oy[r + 1]]])
+                for i, (idx, eps) in enumerate(
+                    simplification_levels(curve, diagonal, levels, fractions, min_pts)
+                ):
+                    per_level_x[i].append(curve[idx, 0])
+                    per_level_y[i].append(curve[idx, 1])
+                    per_level_e[i][r] = eps
+            arrays = list(rb.columns)
+            names = list(rb.schema.names)
+            for i in range(levels):
+                arrays += [
+                    pa.array(per_level_x[i], type=pa.list_(pa.float64())),
+                    pa.array(per_level_y[i], type=pa.list_(pa.float64())),
+                    pa.array(per_level_e[i]),
+                ]
+                names += [f"s{i}_xs", f"s{i}_ys", f"s{i}_eps"]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return curves.mapInArrow(fn, schema=out_schema)
