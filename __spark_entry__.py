@@ -29,7 +29,12 @@ from frechetrange_spark.operators.range_query import (
     grid_candidates,
     range_query_grid,
 )
+from frechetrange_spark.operators.signature import (
+    bb_range_query,
+    signature_candidates,
+)
 from frechetrange_spark.operators.simplifications import enrich_with_simplifications
+from frechetrange_spark.functions import register_all
 from frechetrange_spark.sources.trajectories import (
     assemble_curves,
     trajectory_points,
@@ -102,6 +107,47 @@ def _q_endpoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return endpoint_candidates(curves, queries, EPS, MESH)
 
 
+def _q_signature_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curves = _curves(spark, sf_dir).persist()
+    queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
+    return signature_candidates(curves, queries, EPS, MESH).select(
+        F.col("q_traj_id").alias("query_id"), "traj_id"
+    )
+
+
+def _q_bb_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    curves = _curves(spark, sf_dir).persist()
+    queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
+    return bb_range_query(curves, queries, EPS, MESH)
+
+
+def _q_decide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF-surface demo: the registered SQL UDFs over sampled curve pairs."""
+    register_all(spark)
+    curves = _curves(spark, sf_dir).persist()
+    a = curves.filter(F.col("traj_id") % QUERY_MOD == 0).select(
+        F.col("traj_id").alias("id_a"),
+        F.col("xs").alias("xs_a"),
+        F.col("ys").alias("ys_a"),
+    )
+    b = curves.filter(F.col("traj_id") % 25 == 0).select(
+        F.col("traj_id").alias("id_b"),
+        F.col("xs").alias("xs_b"),
+        F.col("ys").alias("ys_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    pairs.createOrReplaceTempView("udf_pairs")
+    return spark.sql(
+        """
+        SELECT id_a, id_b,
+               frechet_decide(xs_a, ys_a, xs_b, ys_b, 15.0) AS within_eps,
+               frechet_dist(xs_a, ys_a, xs_b, ys_b) AS distance,
+               frechet_etd(xs_a, ys_a, xs_b, ys_b) AS etd
+        FROM udf_pairs
+        """
+    )
+
+
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     curves = enrich_with_simplifications(
         _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
@@ -134,8 +180,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_cells": _q_grid_cells,
         "grid_candidates": _q_grid_candidates,
         "endpoint_candidates": _q_endpoint_candidates,
+        "signature_candidates": _q_signature_candidates,
         "range_query": _q_range_query,  # exact decider: rows-only check
         "range_self_join": _q_range_self_join,  # exact decider: rows-only check
+        "bb_range_query": _q_bb_range_query,  # exact decider: rows-only check
+        "decide_udf": _q_decide_udf,  # float kernel UDFs: rows-only check
         # web-text pipeline
         "token_stats": lambda s, d: textql.token_stats(_docs(s, d)),
         "lang_id": lambda s, d: textql.language_id(_docs(s, d)),
@@ -192,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "grid_cells": oracles.GRID_CELLS_SQL,
         "grid_candidates": oracles.GRID_CANDIDATES_SQL,
         "endpoint_candidates": oracles.ENDPOINT_CANDIDATES_SQL,
+        "signature_candidates": oracles.SIGNATURE_CANDIDATES_SQL,
         # "range_query": non-SQL-expressible (free-space DP decider)
         "token_stats": oracles.TOKEN_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

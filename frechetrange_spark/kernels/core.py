@@ -281,6 +281,55 @@ def greedy_upper_bound(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sqrt(best))
 
 
+def _next_close_point(
+    t: np.ndarray, prefix: np.ndarray, i: int, p: np.ndarray, d: float
+) -> int:
+    """First index k >= i with |t[k] - p| <= d, found by exponential
+    ("galloping") search over the prefix arc lengths (F5 helper,
+    detail/bb/spatial_index.hpp:285-310 ``nextclosepoint``). Returns
+    len(t) when no such point exists."""
+    n = t.shape[0]
+    delta = 1
+    k = i
+    while True:
+        if k == n - 1:
+            return k if _dist2(t[k], p) <= d * d else n
+        delta = min(delta, n - 1 - k)
+        # points within the next `delta` arc length cannot be close enough
+        if np.sqrt(_dist2(p, t[k])) - (prefix[k + delta] - prefix[k]) > d:
+            k += delta
+            delta *= 2
+        elif delta > 1:
+            delta //= 2
+        else:
+            return k
+
+
+def negfilter(p: np.ndarray, q: np.ndarray, eps: float) -> bool:
+    """F5 negative filter (detail/bb/spatial_index.hpp:316-337): tries to
+    PROVE frechet(p, q) > eps. True = proof found (definite NO); False is
+    inconclusive. Every sampled point of one curve must have a monotone
+    close point on the other."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    pre_p = _prefix_lengths(p)
+    pre_q = _prefix_lengths(q)
+    delta = max(p.shape[0], q.shape[0]) - 1
+    while delta >= 1:
+        i = 0
+        for j in range(0, q.shape[0], delta):
+            i = _next_close_point(p, pre_p, i, q[j], eps)
+            if i >= p.shape[0]:
+                return True
+        j = 0
+        for i2 in range(0, p.shape[0], delta):
+            j = _next_close_point(q, pre_q, j, p[i2], eps)
+            if j >= q.shape[0]:
+                return True
+        delta //= 2
+    return False
+
+
 def frechet_distance(
     p: np.ndarray,
     q: np.ndarray,

@@ -117,6 +117,25 @@ FROM q JOIN feats d
 """
 
 
+# J2 bb signature-ball candidates: start/end Euclidean + MBR Chebyshev all
+# within eps (detail/bb/spatial_index.hpp:28-39 nd_point_dist, :228-242
+# signature); eps = 15, queries = traj_id % 50 == 0.
+SIGNATURE_CANDIDATES_SQL = f"""
+WITH feats AS ({CURVE_FEATURES_SQL}),
+q AS (SELECT * FROM feats WHERE traj_id % 50 = 0)
+SELECT q.traj_id AS query_id, d.traj_id AS traj_id
+FROM q JOIN feats d
+  ON (q.x_first - d.x_first)*(q.x_first - d.x_first)
+     + (q.y_first - d.y_first)*(q.y_first - d.y_first) <= 225.0
+ AND (q.x_last - d.x_last)*(q.x_last - d.x_last)
+     + (q.y_last - d.y_last)*(q.y_last - d.y_last) <= 225.0
+ AND abs(q.min_x - d.min_x) <= 15.0
+ AND abs(q.min_y - d.min_y) <= 15.0
+ AND abs(q.max_x - d.max_x) <= 15.0
+ AND abs(q.max_y - d.max_y) <= 15.0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Web-text pipeline oracles (token hash / shingle math mirrors
 # operators/textql.py and operators/dedup.py exactly).
