@@ -83,10 +83,22 @@ def _q(cols: DataFrame, prefix: str) -> DataFrame:
 
 
 def grid_candidates(
-    index_df: DataFrame, queries: DataFrame, eps: float, meta: dict
+    index_df: DataFrame,
+    queries: DataFrame,
+    eps: float,
+    meta: dict,
+    salt: int | None = None,
 ) -> DataFrame:
     """J1 equi-join + native F1/F2 predicates. Returns candidate pairs with
-    both curves' arrays and an ``accept_f3`` flag (F3 positive filter)."""
+    both curves' arrays and an ``accept_f3`` flag (F3 positive filter).
+
+    ``salt``: explicit hot-cell skew handling for sort-merge joins at
+    cluster scale (urban corpora concentrate curves in few cells). The
+    dataset side adds ``pmod(hash(traj_id), salt)`` to the join key; the
+    query side explodes all ``salt`` values, so every (query, curve) pair
+    still meets exactly once while a hot cell's rows spread over ``salt``
+    shuffle partitions. Leave ``None`` when the query side broadcasts
+    (no shuffle, no skew)."""
     mesh, corner = meta["mesh"], meta["corner"]
     cx_col, cy_col = _CORNERS[corner]
     qexp = explode_neighbor_cells(
@@ -94,7 +106,18 @@ def grid_candidates(
     )
     eps_l = F.lit(float(eps))
     eps2 = F.lit(float(eps) * float(eps))
-    joined = qexp.join(index_df, on=["cell_x", "cell_y"])
+    if salt is not None and salt > 1:
+        salted_index = index_df.withColumn(
+            "_salt", F.pmod(F.hash("traj_id"), F.lit(salt))
+        )
+        qexp = qexp.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        joined = qexp.join(
+            salted_index.hint("shuffle_merge"), on=["cell_x", "cell_y", "_salt"]
+        ).drop("_salt")
+    else:
+        joined = qexp.join(index_df, on=["cell_x", "cell_y"])
 
     # F2: every MBR border within eps (grid.hpp:683-717)
     f2 = (

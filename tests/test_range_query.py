@@ -62,3 +62,40 @@ def test_choose_corner_is_deterministic(spark, corpus):
     c2 = choose_corner(corpus, 15.0)
     assert c1 == c2
     assert c1 in {"min_min", "min_max", "max_min", "max_max"}
+
+
+def test_salted_candidates_identical(spark):
+    """Hot-cell salting changes the physical plan only: candidate pair sets
+    are identical with and without it (SURVEY §4 skew row)."""
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        grid_candidates,
+    )
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+    from pyspark.sql import functions as F
+
+    curves = assemble_curves(
+        trajectory_points(spark, "/root/testdata/sf0.001")
+    ).persist()
+    queries = curves.filter(F.col("traj_id") % 20 == 0)
+    idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+    plain = set(
+        map(
+            tuple,
+            grid_candidates(idx, queries, 15.0, meta)
+            .select("q_traj_id", "traj_id")
+            .collect(),
+        )
+    )
+    salted = set(
+        map(
+            tuple,
+            grid_candidates(idx, queries, 15.0, meta, salt=8)
+            .select("q_traj_id", "traj_id")
+            .collect(),
+        )
+    )
+    assert salted == plain

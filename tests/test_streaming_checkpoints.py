@@ -103,3 +103,66 @@ def test_checkpoint_parent_invalidation(spark, tmp_path):
     p.run_stage("a", build_a, params={"v": 2})
     p.run_stage("child", build_child, parents=["a"])
     assert calls["n"] == 2
+
+
+def test_flagship_pipeline_resumes_and_matches_direct(spark, tmp_path):
+    """The checkpointed flagship equals the direct plan, and a second run
+    resumes from snapshots (no stage rebuilt)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_grid,
+    )
+    from frechetrange_spark.plans.flagship import flagship_pipeline
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+
+    root = str(tmp_path / "flagship")
+    got = set(
+        map(
+            tuple,
+            flagship_pipeline(
+                spark, "/root/testdata/sf0.001", root, query_mod=20
+            ).collect(),
+        )
+    )
+    curves = assemble_curves(
+        trajectory_points(spark, "/root/testdata/sf0.001")
+    ).persist()
+    idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+    exp = set(
+        map(
+            tuple,
+            range_query_grid(
+                idx, curves.filter(F.col("traj_id") % 20 == 0), 15.0, meta
+            ).collect(),
+        )
+    )
+    assert got == exp
+
+    # resume: capture manifests, re-run, manifests must be byte-identical
+    # (content keys matched -> stages skipped, snapshots reused)
+    before = {}
+    for stage in ("curves", "index", "matches"):
+        with open(os.path.join(root, stage, "_manifest.json")) as f:
+            before[stage] = json.load(f)
+        assert before[stage]["n_rows"] > 0
+        assert before[stage]["partition_rows"]  # per-partition lineage
+    got2 = set(
+        map(
+            tuple,
+            flagship_pipeline(
+                spark, "/root/testdata/sf0.001", root, query_mod=20
+            ).collect(),
+        )
+    )
+    assert got2 == got
+    for stage in ("curves", "index", "matches"):
+        with open(os.path.join(root, stage, "_manifest.json")) as f:
+            assert json.load(f) == before[stage]
