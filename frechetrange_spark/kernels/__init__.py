@@ -13,5 +13,6 @@ from frechetrange_spark.kernels.core import (  # noqa: F401
     free_intervals_point_vs_segments,
     free_intervals_segment_vs_points,
     greedy_upper_bound,
+    match_inner_points_monotonously,
     negfilter,
 )

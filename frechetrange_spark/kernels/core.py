@@ -281,6 +281,54 @@ def greedy_upper_bound(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sqrt(best))
 
 
+def match_inner_points_monotonously(
+    points: np.ndarray, segments: np.ndarray, eps: float
+) -> bool:
+    """F6 (detail/dv/frechet_distance.hpp:164-213): True iff the inner
+    points of ``points`` can be matched monotonically onto the segment
+    chain ``segments`` within eps. False is a definite NO for the Fréchet
+    decision (applied in both directions by the reference's is_bounded_by
+    before the DP, :60-66); True is inconclusive."""
+    points = np.asarray(points, dtype=np.float64)
+    segments = np.asarray(segments, dtype=np.float64)
+    points_end = points.shape[0] - 1
+    num_segments = segments.shape[0] - 1
+    if points_end <= 1 or num_segments == 0:
+        return True
+    eps2 = float(eps) * float(eps)
+    point_idx = 1
+    seg_idx = 0
+    segment_part = 0.0
+    while True:
+        s0 = segments[seg_idx]
+        d = segments[seg_idx + 1] - s0
+        f = s0 - points[point_idx]
+        a = d[0] * d[0] + d[1] * d[1]
+        b = 2.0 * (f[0] * d[0] + f[1] * d[1])
+        c = f[0] * f[0] + f[1] * f[1] - eps2
+        if a <= 0.0:
+            begin, end = (0.0, 1.0) if c <= 0.0 else (_INF, -_INF)
+        else:
+            disc = b * b - 4.0 * a * c
+            if disc < 0.0:
+                begin, end = _INF, -_INF
+            else:
+                sq = np.sqrt(disc)
+                begin = (-b - sq) / (2.0 * a)
+                end = (-b + sq) / (2.0 * a)
+        if begin <= 1.0 and end >= segment_part:
+            if segment_part < begin:
+                segment_part = begin
+            point_idx += 1
+            if point_idx == points_end:
+                return True
+        else:
+            seg_idx += 1
+            segment_part = 0.0
+            if seg_idx == num_segments:
+                return False
+
+
 def _next_close_point(
     t: np.ndarray, prefix: np.ndarray, i: int, p: np.ndarray, d: float
 ) -> int:

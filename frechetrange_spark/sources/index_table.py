@@ -1,0 +1,61 @@
+"""Persisted grid-index table with per-cell bucket sort (S4/S5 + O1).
+
+The reference sorts every grid bucket with >= 16 curves by the MBR-corner
+coordinate of the dimension with the wider value spread inside the cell
+(detail/dv/grid.hpp:226-283 ``cell_t::sort``/``choose_sorting_order``) so
+queries scan only the active range [corner-eps, corner+eps] (O2,
+:578-661). In Spark the same effect comes from layout: the index table is
+repartitioned by cell and sorted within partitions by (cell, chosen
+border coordinate), so parquet row-group min/max statistics give the
+active-range skipping to any pushed range predicate — no explicit binary
+search needed (SURVEY §2.5 O2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CORNERS = {
+    "min_min": ("min_x", "min_y"),
+    "min_max": ("min_x", "max_y"),
+    "max_min": ("max_x", "min_y"),
+    "max_max": ("max_x", "max_y"),
+}
+
+
+def write_index(index_df: DataFrame, path: str, meta: dict) -> None:
+    """Write the grid index as a cell-clustered, bucket-sorted parquet
+    table plus a _meta.json (mesh, corner)."""
+    cx_col, cy_col = _CORNERS[meta["corner"]]
+    spread = index_df.groupBy("cell_x", "cell_y").agg(
+        (F.max(cx_col) - F.min(cx_col)).alias("_sx"),
+        (F.max(cy_col) - F.min(cy_col)).alias("_sy"),
+    )
+    # O1: per-cell sort dimension = the wider-spread one (grid.hpp:226-283)
+    sort_val = F.when(F.col("_sx") >= F.col("_sy"), F.col(cx_col)).otherwise(
+        F.col(cy_col)
+    )
+    (
+        index_df.join(F.broadcast(spread), ["cell_x", "cell_y"])
+        .withColumn("_sort", sort_val)
+        .drop("_sx", "_sy")
+        .repartition("cell_x", "cell_y")
+        .sortWithinPartitions("cell_x", "cell_y", "_sort")
+        .drop("_sort")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "data"))
+    )
+    tmp = os.path.join(path, "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"mesh": meta["mesh"], "corner": meta["corner"]}, f)
+    os.replace(tmp, os.path.join(path, "_meta.json"))
+
+
+def read_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
+    with open(os.path.join(path, "_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(path, "data")), meta

@@ -251,3 +251,24 @@ class TestBatchKernels:
         t2 = np.array([[1.0, 0.0], [3.0, 3.0], [5.0, 0.0]])
         assert decide_frechet_pairs([t1], [t2], np.array([3.01]))[0]
         assert not decide_frechet_pairs([t1], [t2], np.array([2.99]))[0]
+
+
+def test_f6_monotone_matching_never_contradicts():
+    """F6 is a NO-prover: whenever it rejects (either direction), the
+    exact decider must also reject (dv/frechet_distance.hpp:60-66)."""
+    from frechetrange_spark.kernels import match_inner_points_monotonously
+
+    rng = np.random.default_rng(41)
+    fired = 0
+    for _ in range(200):
+        p = np.cumsum(rng.normal(size=(rng.integers(2, 30), 2)), axis=0)
+        q = np.cumsum(rng.normal(size=(rng.integers(2, 30), 2)), axis=0)
+        q += rng.normal(scale=2.0, size=2)
+        eps = rng.uniform(0.3, 6.0)
+        ok = match_inner_points_monotonously(
+            p, q, eps
+        ) and match_inner_points_monotonously(q, p, eps)
+        if not ok:
+            fired += 1
+            assert not decide_frechet(p, q, eps)
+    assert fired > 0

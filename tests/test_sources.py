@@ -108,3 +108,77 @@ def test_drop_consecutive_dups_is_frechet_invariant(spark):
         assert frechet_distance(ca, cb) <= 1e-9
     # the synthetic walk does produce occasional zero steps; if none in this
     # slice the invariance check above still ran
+
+
+class TestImporters:
+    """S3 importers (dataset2ssv.py re-expression): file order, header
+    skipping, and the character cumsum integration."""
+
+    def _write(self, tmp_path, name, lines):
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+
+    def test_sanfrancisco_and_order(self, spark, tmp_path):
+        from frechetrange_spark.sources.importers import sanfrancisco_points
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        self._write(d, "b.plt", ["3.0 4.0 0", "5.0 6.0 0"])
+        self._write(d, "a.plt", ["1.0 2.0 0"])
+        rows = sorted(
+            map(tuple, sanfrancisco_points(spark, str(d)).collect())
+        )
+        # 'a.plt' sorts first -> traj_id 0
+        assert rows == [(0, 0, 1.0, 2.0), (1, 0, 3.0, 4.0), (1, 1, 5.0, 6.0)]
+
+    def test_geolife_header_skip(self, spark, tmp_path):
+        from frechetrange_spark.sources.importers import geolife_points
+
+        d = tmp_path / "gl"
+        d.mkdir()
+        self._write(
+            d,
+            "t.plt",
+            ["h1", "h2", "h3", "h4", "h5", "h6", "39.9,116.3,0", "40.0,116.4,0"],
+        )
+        rows = sorted(map(tuple, geolife_points(spark, str(d)).collect()))
+        assert rows == [(0, 0, 39.9, 116.3), (0, 1, 40.0, 116.4)]
+
+    def test_character_cumsum(self, spark, tmp_path):
+        from frechetrange_spark.sources.importers import character_points
+
+        d = tmp_path / "ch"
+        d.mkdir()
+        self._write(d, "file-1", ["1.0 1.0 0", "1.0 -1.0 0", "2.0 0.5 0"])
+        rows = sorted(map(tuple, character_points(spark, str(d)).collect()))
+        # np.cumsum semantics (dataset2ssv.py:24)
+        assert rows == [(0, 0, 1.0, 1.0), (0, 1, 2.0, 0.0), (0, 2, 4.0, 0.5)]
+
+
+class TestIndexTable:
+    def test_write_read_roundtrip_and_query(self, spark, tmp_path):
+        from frechetrange_spark.operators.range_query import (
+            build_grid_index,
+            range_query_grid,
+        )
+        from frechetrange_spark.sources.index_table import read_index, write_index
+        from frechetrange_spark.sources.trajectories import (
+            assemble_curves,
+            trajectory_points,
+        )
+        from pyspark.sql import functions as F
+
+        curves = assemble_curves(
+            trajectory_points(spark, "/root/testdata/sf0.001")
+        ).persist()
+        idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+        path = str(tmp_path / "index")
+        write_index(idx, path, meta)
+        idx2, meta2 = read_index(spark, path)
+        assert meta2 == {"mesh": 15.0, "corner": "min_min"}
+        assert idx2.count() == curves.count()
+        assert sorted(idx2.columns) == sorted(idx.columns)
+        q = curves.filter(F.col("traj_id") % 20 == 0)
+        got = set(map(tuple, range_query_grid(idx2, q, 15.0, meta2).collect()))
+        exp = set(map(tuple, range_query_grid(idx, q, 15.0, meta).collect()))
+        assert got == exp
