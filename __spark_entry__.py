@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from frechetrange_spark import oracles
 from frechetrange_spark.operators import dedup, multimodal, similarity, textql
+from frechetrange_spark.operators import events as events_ops
 from frechetrange_spark.operators.dihash import endpoint_candidates
 from frechetrange_spark.operators.knn import knn_frechet
 from frechetrange_spark.operators.polygon import point_in_polygon, polygons_df
@@ -172,6 +173,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # trajectory / spatial engine
@@ -196,6 +201,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_dedup(_docs(s, d), 0.5),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # event analytics (batch twins of the streaming plans)
+        "event_windows": lambda s, d: events_ops.windowed_event_stats(_events(s, d)),
+        "event_sessions": lambda s, d: events_ops.sessionize(_events(s, d)),
+        "event_props": lambda s, d: events_ops.props_extract(_events(s, d)),
         # similarity search (embeddings)
         "ann_topk": lambda s, d: similarity.ann_topk_bruteforce(_emb(s, d)),
         "neardup_lsh": lambda s, d: similarity.neardup_lsh(_emb(s, d)),
@@ -242,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "grid_candidates": oracles.GRID_CANDIDATES_SQL,
         "endpoint_candidates": oracles.ENDPOINT_CANDIDATES_SQL,
         "signature_candidates": oracles.SIGNATURE_CANDIDATES_SQL,
+        "event_windows": oracles.WINDOWED_EVENTS_SQL,
+        "event_sessions": oracles.SESSIONS_SQL,
+        "event_props": oracles.PROPS_SQL,
         # "range_query": non-SQL-expressible (free-space DP decider)
         "token_stats": oracles.TOKEN_STATS_SQL,
         "lang_id": oracles.LANG_ID_SQL,

@@ -137,6 +137,55 @@ FROM q JOIN feats d
 
 
 # ---------------------------------------------------------------------------
+# Event analytics oracles (operators/events.py). Metrics are counts and
+# integer cent-sums so results are independent of partitioning/order.
+# ---------------------------------------------------------------------------
+
+# Tumbling 1-hour windows per event_type. Spark's F.window aligns to the
+# epoch, which for whole hours equals date_trunc('hour', ts).
+WINDOWED_EVENTS_SQL = """
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+# Gap-based sessions (gap = 1800 s), tie-broken by event_id like the Spark
+# window ORDER BY (ts, event_id).
+SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM gaps
+), sess AS (
+  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM sess
+GROUP BY user_id, session_id
+"""
+
+# JSON prop extraction parity (get_json_object vs DuckDB json path).
+PROPS_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # Web-text pipeline oracles (token hash / shingle math mirrors
 # operators/textql.py and operators/dedup.py exactly).
 # ---------------------------------------------------------------------------

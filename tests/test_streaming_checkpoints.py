@@ -166,3 +166,51 @@ def test_flagship_pipeline_resumes_and_matches_direct(spark, tmp_path):
     for stage in ("curves", "index", "matches"):
         with open(os.path.join(root, stage, "_manifest.json")) as f:
             assert json.load(f) == before[stage]
+
+
+def test_streamed_window_stats_equal_batch(spark, tmp_path):
+    """The streaming twin of windowed_event_stats (complete-mode memory
+    sink, availableNow) produces exactly the batch result."""
+    import shutil
+
+    from frechetrange_spark.operators.events import (
+        start_windowed_stream,
+        windowed_event_stats,
+    )
+
+    indir = tmp_path / "ev_in"
+    indir.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", indir / "part-0.parquet")
+    q = start_windowed_stream(
+        spark, str(indir), str(tmp_path / "ev_ckpt"), query_name="ev_win_test"
+    )
+    q.awaitTermination(120)
+    got = set(map(tuple, spark.sql("SELECT * FROM ev_win_test").collect()))
+    batch = spark.read.parquet(str(indir))
+    exp = set(map(tuple, windowed_event_stats(batch).collect()))
+    assert got == exp and len(got) > 0
+
+
+def test_session_window_agrees_with_gap_sessionize(spark):
+    """F.session_window and the explicit gap sessionization carve the same
+    sessions (same start/end/count/sum multiset)."""
+    from frechetrange_spark.operators.events import session_window_stats, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    native = set(
+        map(
+            tuple,
+            session_window_stats(ev)
+            .select("user_id", "start_ts", "n_events", "value_cents")
+            .collect(),
+        )
+    )
+    explicit = set(
+        map(
+            tuple,
+            sessionize(ev)
+            .select("user_id", "start_ts", "n_events", "value_cents")
+            .collect(),
+        )
+    )
+    assert native == explicit
