@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from frechetrange_spark import oracles
 from frechetrange_spark.operators import dedup, multimodal, similarity, textql
 from frechetrange_spark.operators import events as events_ops
+from frechetrange_spark.operators import relational
 from frechetrange_spark.operators.dihash import endpoint_candidates
 from frechetrange_spark.operators.knn import knn_frechet
 from frechetrange_spark.operators.polygon import point_in_polygon, polygons_df
@@ -201,6 +202,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_dedup(_docs(s, d), 0.5),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # relational analytics (declarative layer; dims broadcast)
+        "pricing_summary": relational.pricing_summary,
+        "shipping_priority": relational.shipping_priority,
+        "region_revenue": relational.region_revenue,
         # event analytics (batch twins of the streaming plans)
         "event_windows": lambda s, d: events_ops.windowed_event_stats(_events(s, d)),
         "event_sessions": lambda s, d: events_ops.sessionize(_events(s, d)),
@@ -251,6 +256,9 @@ def oracle_sql() -> dict[str, str]:
         "grid_candidates": oracles.GRID_CANDIDATES_SQL,
         "endpoint_candidates": oracles.ENDPOINT_CANDIDATES_SQL,
         "signature_candidates": oracles.SIGNATURE_CANDIDATES_SQL,
+        "pricing_summary": oracles.PRICING_SUMMARY_SQL,
+        "shipping_priority": oracles.SHIPPING_PRIORITY_SQL,
+        "region_revenue": oracles.REGION_REVENUE_SQL,
         "event_windows": oracles.WINDOWED_EVENTS_SQL,
         "event_sessions": oracles.SESSIONS_SQL,
         "event_props": oracles.PROPS_SQL,

@@ -137,6 +137,49 @@ FROM q JOIN feats d
 
 
 # ---------------------------------------------------------------------------
+# Relational analytics oracles (operators/relational.py) — TPC-H-shaped
+# queries over the star schema; money in integer cents.
+# ---------------------------------------------------------------------------
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+SHIPPING_PRIORITY_SQL = """
+SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+       o.o_orderdate, o.o_orderpriority,
+       CAST(SUM(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT 10
+"""
+
+REGION_REVENUE_SQL = """
+SELECT r.r_name,
+       CAST(SUM(CAST(round(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # Event analytics oracles (operators/events.py). Metrics are counts and
 # integer cent-sums so results are independent of partitioning/order.
 # ---------------------------------------------------------------------------

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the flagship Fréchet range-query pipeline.
+
+    scripts/build_pyfiles.sh   # -> dist/frechetrange_spark.zip
+    spark-submit --py-files dist/frechetrange_spark.zip \\
+        jobs/run_flagship.py --sf-dir /root/testdata/sf0.01 \\
+        --root /tmp/flagship_run --eps 15 --mesh 15 --query-mod 50 \\
+        --output /tmp/flagship_run/result
+
+Runs (or resumes, via snapshot checkpoints) curves -> index -> matches and
+writes the match pairs as parquet. On a cluster, pass the same zip with
+--master yarn/k8s; nothing here assumes local mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--root", required=True, help="checkpoint root directory")
+    ap.add_argument("--eps", type=float, default=15.0)
+    ap.add_argument("--mesh", type=float, default=15.0)
+    ap.add_argument("--query-mod", type=int, default=None)
+    ap.add_argument("--output", default=None, help="parquet output path")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from frechetrange_spark.plans.flagship import flagship_pipeline
+
+    spark = (
+        SparkSession.builder.appName("frechetrange-flagship")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    matches = flagship_pipeline(
+        spark,
+        args.sf_dir,
+        args.root,
+        eps=args.eps,
+        mesh=args.mesh,
+        query_mod=args.query_mod,
+    )
+    n = matches.count()
+    print(f"flagship matches: {n}")
+    if args.output:
+        matches.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
