@@ -89,6 +89,9 @@ def run_bench() -> dict:
         t0 = time.perf_counter()
         _materialize(qs[name](spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
+        # release caches persisted inside the query builders so later
+        # queries aren't taxed by earlier queries' memory footprint
+        spark.catalog.clearCache()
 
     n_queries = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -164,18 +164,46 @@ def curves(spark: SparkSession, sf_dir: str, via_html: bool = False) -> DataFram
 # SSV interop (the reference's on-disk format, data/sanfrancisco.ssv)
 # ---------------------------------------------------------------------------
 
-def read_ssv(spark: SparkSession, path: str) -> DataFrame:
+def read_ssv(
+    spark: SparkSession, path: str, nan_separated: bool = False
+) -> DataFrame:
     """Read a reference-format SSV point table (``x y id`` header,
-    space-separated) into (traj_id, seq, x, y); seq = file order per id."""
+    space-separated) into (traj_id, seq, x, y); seq = file order per id.
+
+    ``nan_separated=True`` reads the R-package variant instead: trajectory
+    boundaries are NaN separator rows and ids are assigned by split order
+    (r-package/dv.R ``getTrajectoryIDs``/``tsplit`` — NaN rows are data
+    delimiters, not points; cf. the bddm NaN drop,
+    detail/bddm/spatial_hash.hpp:219-229)."""
     raw = (
         spark.read.option("sep", " ")
         .option("header", "true")
-        .schema("x double, y double, id long")
+        .schema("x double, y double, id double")
         .csv(path)
         .withColumn("_file_pos", F.monotonically_increasing_id())
     )
+    if nan_separated:
+        w = Window.orderBy("_file_pos")
+        is_sep = F.isnan("x") | F.isnan("y")
+        numbered = raw.withColumn(
+            "traj_id",
+            F.sum(F.when(is_sep, 1).otherwise(0))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        ).filter(~is_sep)
+        return numbered.select(
+            "traj_id",
+            (
+                F.row_number().over(
+                    Window.partitionBy("traj_id").orderBy("_file_pos")
+                )
+                - 1
+            ).alias("seq"),
+            "x",
+            "y",
+        )
     return raw.select(
-        F.col("id").alias("traj_id"),
+        F.col("id").cast("long").alias("traj_id"),
         (
             F.row_number().over(
                 Window.partitionBy("id").orderBy("_file_pos")

@@ -182,3 +182,15 @@ class TestIndexTable:
         got = set(map(tuple, range_query_grid(idx2, q, 15.0, meta2).collect()))
         exp = set(map(tuple, range_query_grid(idx, q, 15.0, meta).collect()))
         assert got == exp
+
+
+def test_read_ssv_nan_separated(spark, tmp_path):
+    """R-package variant: NaN rows delimit trajectories (dv.R tsplit)."""
+    from frechetrange_spark.sources.trajectories import read_ssv
+
+    p = tmp_path / "nan.ssv"
+    p.write_text(
+        "x y id\n1.0 2.0 0\n3.0 4.0 0\nNaN NaN 0\n5.0 6.0 0\n"
+    )
+    rows = sorted(map(tuple, read_ssv(spark, str(p), nan_separated=True).collect()))
+    assert rows == [(0, 0, 1.0, 2.0), (0, 1, 3.0, 4.0), (1, 0, 5.0, 6.0)]
