@@ -272,3 +272,64 @@ def test_f6_monotone_matching_never_contradicts():
             fired += 1
             assert not decide_frechet(p, q, eps)
     assert fired > 0
+
+
+class TestAlternateDeciders:
+    """K4 (bb divide-&-conquer) and K6 (bddm CFDQ, with K9 portals) must
+    agree with the canonical K5 decider — the reference's own oracle is
+    N-version agreement (benchmark/test.py)."""
+
+    def _pairs(self, n, seed, lo=2, hi=60):
+        rng = np.random.default_rng(seed)
+        out = []
+        for _ in range(n):
+            p = np.cumsum(rng.normal(size=(rng.integers(lo, hi), 2)), axis=0)
+            q = np.cumsum(rng.normal(size=(rng.integers(lo, hi), 2)), axis=0)
+            q += rng.normal(scale=2.0, size=2)
+            out.append((p, q))
+        return out
+
+    def test_bb_agrees_with_k5(self):
+        from frechetrange_spark.kernels.bb_decider import decide_frechet_bb
+
+        for p, q in self._pairs(150, 51, lo=1):
+            d = frechet_distance(p, q)
+            for e in (d * 1.001 + 1e-9, max(d * 0.999 - 1e-9, 0.0)):
+                assert decide_frechet_bb(p, q, e) == decide_frechet(p, q, e)
+
+    def test_cfdq_agrees_with_k5(self):
+        from frechetrange_spark.kernels.cfdq import decide_frechet_cfdq
+
+        for p, q in self._pairs(150, 52):
+            d = frechet_distance(p, q)
+            for e in (d * 1.001 + 1e-9, max(d * 0.999 - 1e-9, 0.0)):
+                assert decide_frechet_cfdq(p, q, e) == decide_frechet(p, q, e)
+
+    def test_cfdq_with_portals_agrees(self):
+        from frechetrange_spark.kernels.cfdq import (
+            agarwal_with_portals,
+            compile_portals,
+            decide_frechet_cfdq,
+        )
+
+        for p, q in self._pairs(80, 53, lo=10, hi=80):
+            _, ports = agarwal_with_portals(p, 1.0)
+            pmap = compile_portals([ports])
+            d = frechet_distance(p, q)
+            for mult in (1.5, 1.001, 0.999, 0.6):
+                e = d * mult
+                got = decide_frechet_cfdq(p, q, e, base_query_delta=e, portals=pmap)
+                assert got == decide_frechet(p, q, e)
+
+    def test_known_answers_all_deciders(self):
+        from frechetrange_spark.kernels.bb_decider import decide_frechet_bb
+        from frechetrange_spark.kernels.cfdq import decide_frechet_cfdq
+
+        t1 = np.array([[1.0, 0.0], [2.0, 0.0], [4.0, 0.0], [5.0, 0.0]])
+        t2 = np.array([[1.0, 0.0], [3.0, 3.0], [5.0, 0.0]])
+        for dec in (decide_frechet_bb, decide_frechet_cfdq):
+            assert dec(t1, t2, 3.01) and not dec(t1, t2, 2.99)
+        seg = np.array([[0.0, 0.0], [10.0, 0.0]])
+        tri = np.array([[0.0, 1.0], [5.0, 10.0], [10.0, 1.0]])
+        for dec in (decide_frechet_bb, decide_frechet_cfdq):
+            assert dec(seg, tri, 10.01) and not dec(seg, tri, 9.99)
