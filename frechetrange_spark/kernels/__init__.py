@@ -15,4 +15,5 @@ from frechetrange_spark.kernels.core import (  # noqa: F401
     greedy_upper_bound,
     match_inner_points_monotonously,
     negfilter,
+    positive_filter,
 )

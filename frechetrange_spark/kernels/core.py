@@ -281,6 +281,45 @@ def greedy_upper_bound(p: np.ndarray, q: np.ndarray) -> float:
     return float(np.sqrt(best))
 
 
+def positive_filter(p: np.ndarray, q: np.ndarray, eps: float) -> bool:
+    """F7 positive greedy filter (dv/frechet_distance.hpp:100-156, compiled
+    out by default upstream): True PROVES frechet(p, q) <= eps, assuming the
+    endpoint pairs were already checked (F1). False is inconclusive.
+
+    Soundness of the reference's d12-only check: in the advance-one
+    branches the branch condition implies the chosen pair's distance is
+    <= d12 <= eps (if d12 were smaller than both single steps the diagonal
+    branch would have been taken), so every matched pair is within eps.
+    """
+    t1 = np.asarray(p, dtype=np.float64)
+    t2 = np.asarray(q, dtype=np.float64)
+    eps2 = float(eps) * float(eps)
+    i1 = i2 = 0
+    n1, n2 = t1.shape[0], t2.shape[0]
+    while i1 < n1 - 1 and i2 < n2 - 1:
+        d1 = _dist2(t1[i1 + 1], t2[i2])
+        d2 = _dist2(t1[i1], t2[i2 + 1])
+        d12 = _dist2(t1[i1 + 1], t2[i2 + 1])
+        if d12 > eps2:
+            return False
+        if d12 < d1 and d12 < d2:
+            i1 += 1
+            i2 += 1
+        elif d1 < d2:
+            i1 += 1
+        else:
+            i2 += 1
+    while i1 < n1 - 2:
+        i1 += 1
+        if _dist2(t1[i1], t2[i2]) > eps2:
+            return False
+    while i2 < n2 - 2:
+        i2 += 1
+        if _dist2(t1[i1], t2[i2]) > eps2:
+            return False
+    return True
+
+
 def match_inner_points_monotonously(
     points: np.ndarray, segments: np.ndarray, eps: float
 ) -> bool:

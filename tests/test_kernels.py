@@ -333,3 +333,25 @@ class TestAlternateDeciders:
         tri = np.array([[0.0, 1.0], [5.0, 10.0], [10.0, 1.0]])
         for dec in (decide_frechet_bb, decide_frechet_cfdq):
             assert dec(seg, tri, 10.01) and not dec(seg, tri, 9.99)
+
+
+def test_f7_positive_filter_sound():
+    """F7 is a YES-prover (after F1): True must imply the decider says
+    True (dv/frechet_distance.hpp:100-156)."""
+    from frechetrange_spark.kernels import positive_filter
+
+    rng = np.random.default_rng(61)
+    fired = 0
+    for _ in range(2000):
+        p = np.cumsum(rng.normal(size=(rng.integers(2, 30), 2)), axis=0)
+        q = np.cumsum(rng.normal(size=(rng.integers(2, 30), 2)), axis=0)
+        q += rng.normal(scale=1.0, size=2)
+        eps = rng.uniform(0.5, 6.0)
+        d0 = p[0] - q[0]
+        dn = p[-1] - q[-1]
+        if (d0 @ d0) > eps * eps or (dn @ dn) > eps * eps:
+            continue  # F7 runs after the endpoint check
+        if positive_filter(p, q, eps):
+            fired += 1
+            assert decide_frechet(p, q, eps)
+    assert fired > 50
