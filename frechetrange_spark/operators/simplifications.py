@@ -31,6 +31,71 @@ def dataset_diagonal(curves: DataFrame) -> float:
     return float(np.hypot(row["x1"] - row["x0"], row["y1"] - row["y0"]))
 
 
+def avg_eps_ratios(enriched: DataFrame, levels: int, diagonal: float) -> list[float]:
+    """A6 (bddm:147, 583-586): the dataset's per-level average of
+    simplification-eps / dataset-diagonal, for reuse on external query
+    curves at query time (make_source_simplifications, :630-663)."""
+    aggs = [F.avg(F.col(f"s{i}_eps") / F.lit(diagonal)).alias(f"r{i}") for i in range(levels)]
+    row = enriched.agg(*aggs).first()
+    return [float(row[f"r{i}"]) for i in range(levels)]
+
+
+def enrich_queries_with_ratios(
+    queries: DataFrame, ratios: list[float], diagonal: float
+) -> DataFrame:
+    """Query-side enrichment the reference way: each level's eps is
+    diagonal * avg_ratio (no per-curve search), so external query curves
+    get funnel columns in one cheap kernel pass. Exactness is unaffected —
+    the stored eps is whatever the simplification was built with."""
+    diagonal = float(diagonal)
+    levels = len(ratios)
+    in_fields = list(queries.schema.fields)
+    out_schema = StructType(
+        in_fields
+        + [
+            f
+            for i in range(levels)
+            for f in (
+                StructField(f"s{i}_xs", ArrayType(DoubleType(), False), False),
+                StructField(f"s{i}_ys", ArrayType(DoubleType(), False), False),
+                StructField(f"s{i}_eps", DoubleType(), False),
+            )
+        ]
+    )
+    eps_levels = [diagonal * r for r in ratios]
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import _list_buffers
+        from frechetrange_spark.kernels.simplify import agarwal_indices
+
+        for rb in batches:
+            fx, ox = _list_buffers(rb.column("xs"))
+            fy, oy = _list_buffers(rb.column("ys"))
+            B = rb.num_rows
+            per_x = [[] for _ in range(levels)]
+            per_y = [[] for _ in range(levels)]
+            for r in range(B):
+                curve = np.column_stack([fx[ox[r] : ox[r + 1]], fy[oy[r] : oy[r + 1]]])
+                for i, eps in enumerate(eps_levels):
+                    idx = agarwal_indices(curve, eps)
+                    per_x[i].append(curve[idx, 0])
+                    per_y[i].append(curve[idx, 1])
+            arrays = list(rb.columns)
+            names = list(rb.schema.names)
+            for i in range(levels):
+                arrays += [
+                    pa.array(per_x[i], type=pa.list_(pa.float64())),
+                    pa.array(per_y[i], type=pa.list_(pa.float64())),
+                    pa.array(np.full(B, eps_levels[i])),
+                ]
+                names += [f"s{i}_xs", f"s{i}_ys", f"s{i}_eps"]
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return queries.mapInArrow(fn, schema=out_schema)
+
+
 def simp_cols(levels: int = NUM_LEVELS) -> list[str]:
     out = []
     for i in range(levels):

@@ -110,3 +110,52 @@ class TestFunnelEndToEnd:
         assert 0 < len(row["s0_xs"]) <= row["n_points"]
         assert row["s0_eps"] > 0
         assert len(row["s1_xs"]) >= len(row["s0_xs"])
+
+
+@pytest.mark.usefixtures("spark")
+class TestExternalQueryEnrichment:
+    def test_ratio_enriched_queries_give_exact_results(self, spark):
+        """A6 path: external queries simplified with dataset-averaged eps
+        ratios still produce EXACT range-query results (the certificate is
+        the eps actually used, so pruning power may differ, results not)."""
+        from frechetrange_spark.operators.range_query import (
+            build_grid_index,
+            range_query_bruteforce,
+            range_query_grid,
+        )
+        from frechetrange_spark.operators.simplifications import (
+            avg_eps_ratios,
+            dataset_diagonal,
+            enrich_queries_with_ratios,
+            enrich_with_simplifications,
+        )
+        from frechetrange_spark.sources.trajectories import (
+            assemble_curves,
+            trajectory_points,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        raw = assemble_curves(trajectory_points(spark, sf)).persist()
+        diag = dataset_diagonal(raw)
+        enriched = enrich_with_simplifications(
+            raw, diagonal=diag, levels=2, fractions=(0.07, 0.6)
+        ).persist()
+        ratios = avg_eps_ratios(enriched, 2, diag)
+        assert all(r > 0 for r in ratios)
+        # "external" queries: re-derived from raw curves, enriched via ratios
+        ext_queries = enrich_queries_with_ratios(
+            raw.filter(F.col("traj_id") % 25 == 0), ratios, diag
+        )
+        idx, meta = build_grid_index(enriched, 15.0, corner="min_min")
+        got = set(
+            map(tuple, range_query_grid(idx, ext_queries, 15.0, meta).collect())
+        )
+        exp = set(
+            map(
+                tuple,
+                range_query_bruteforce(
+                    raw, raw.filter(F.col("traj_id") % 25 == 0), 15.0
+                ).collect(),
+            )
+        )
+        assert got == exp
