@@ -99,3 +99,100 @@ def test_salted_candidates_identical(spark):
         )
     )
     assert salted == plain
+
+
+def test_eps_exceeding_mesh_widens_stencil(spark):
+    """The reference throws when eps > mesh (grid.hpp:125-127); we widen
+    the neighbor stencil instead (SURVEY §7). Results must still equal
+    brute force at radius ceil(eps/mesh) = 3."""
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_bruteforce,
+        range_query_grid,
+    )
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+    from pyspark.sql import functions as F
+
+    curves = assemble_curves(
+        trajectory_points(spark, "/root/testdata/sf0.001")
+    ).persist()
+    queries = curves.filter(F.col("traj_id") % 50 == 0)
+    idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+    for eps in (40.0, 22.5):
+        got = set(map(tuple, range_query_grid(idx, queries, eps, meta).collect()))
+        exp = set(
+            map(tuple, range_query_bruteforce(curves, queries, eps).collect())
+        )
+        assert got == exp, f"eps={eps}"
+
+
+def test_small_eps_results_nested(spark):
+    """Monotonicity: result sets grow with eps (and tiny eps is mostly
+    self-matches only)."""
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_grid,
+    )
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+    from pyspark.sql import functions as F
+
+    curves = assemble_curves(
+        trajectory_points(spark, "/root/testdata/sf0.001")
+    ).persist()
+    queries = curves.filter(F.col("traj_id") % 50 == 0)
+    idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+    prev: set = set()
+    for eps in (0.5, 5.0, 15.0):
+        cur = set(map(tuple, range_query_grid(idx, queries, eps, meta).collect()))
+        assert prev <= cur, f"eps={eps} not a superset"
+        prev = cur
+    # every query matches itself at any eps
+    ids = [r["traj_id"] for r in queries.select("traj_id").collect()]
+    assert {(i, i) for i in ids} <= prev
+
+
+def test_random_corpus_property(spark, tmp_path):
+    """End-to-end property check on corpora unlike the synthetic testdata:
+    random-walk curves with varying lengths/scales through SSV -> assemble
+    -> enrich -> grid index -> range query == brute force, three trials."""
+    import numpy as np
+
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_bruteforce,
+        range_query_grid,
+    )
+    from frechetrange_spark.operators.simplifications import (
+        enrich_with_simplifications,
+    )
+    from frechetrange_spark.sources.trajectories import assemble_curves, read_ssv
+
+    rng = np.random.default_rng(1234)
+    for trial, (n_curves, eps, mesh) in enumerate(
+        [(60, 4.0, 4.0), (40, 9.0, 3.0), (50, 1.0, 8.0)]
+    ):
+        lines = ["x y id"]
+        for tid in range(n_curves):
+            n = int(rng.integers(1, 70))
+            scale = float(rng.uniform(0.2, 2.0))
+            start = rng.uniform(-20, 20, size=2)
+            pts = start + np.cumsum(rng.normal(scale=scale, size=(n, 2)), axis=0)
+            for x, y in pts:
+                lines.append(f"{x!r} {y!r} {tid}")
+        p = tmp_path / f"corpus{trial}.ssv"
+        p.write_text("\n".join(lines) + "\n")
+        pts_df = read_ssv(spark, str(p))
+        raw = assemble_curves(pts_df).persist()
+        cur = enrich_with_simplifications(
+            raw, levels=2, fractions=(0.07, 0.6)
+        ).persist()
+        idx, meta = build_grid_index(cur, mesh)  # corner chosen by A4/A5
+        got = set(map(tuple, range_query_grid(idx, cur, eps, meta).collect()))
+        exp = set(map(tuple, range_query_bruteforce(raw, raw, eps).collect()))
+        assert got == exp, f"trial={trial}: extra={got-exp} missing={exp-got}"
