@@ -167,7 +167,7 @@ def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
     ).persist()
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
-    return range_query_grid(index_df, curves, EPS, meta)
+    return range_query_grid(index_df, curves, EPS, meta, symmetric=True)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -149,7 +149,7 @@ def grid_candidates(
     return joined.filter(f2 & f1).withColumn("accept_f3", f3)
 
 
-def _refine_map(eps: float, simp_levels: int = 0):
+def _refine_map(eps: float, simp_levels: int = 0, mirror: bool = False):
     """Arrow-native refine: the exact decider (K5) batched over every pair
     in each RecordBatch — list buffers are gathered into padded (B, N, 2)
     matrices with zero per-row Python objects (see kernels.batch).
@@ -220,22 +220,38 @@ def _refine_map(eps: float, simp_levels: int = 0):
                     eps,
                 )
             idx = np.nonzero(result)[0]
+            qid = rb.column("query_id").to_numpy(zero_copy_only=False)[idx]
+            tid = rb.column("traj_id").to_numpy(zero_copy_only=False)[idx]
+            if mirror:
+                # symmetric self-join: emit (t, q) for every off-diagonal
+                # (q, t) match — Fréchet distance is symmetric
+                off = qid != tid
+                qid, tid = (
+                    np.concatenate([qid, tid[off]]),
+                    np.concatenate([tid, qid[off]]),
+                )
             yield pa.RecordBatch.from_arrays(
-                [
-                    rb.column("query_id").take(pa.array(idx)),
-                    rb.column("traj_id").take(pa.array(idx)),
-                ],
-                ["query_id", "traj_id"],
+                [pa.array(qid), pa.array(tid)], ["query_id", "traj_id"]
             )
 
     return fn
 
 
 def range_query_grid(
-    index_df: DataFrame, queries: DataFrame, eps: float, meta: dict
+    index_df: DataFrame,
+    queries: DataFrame,
+    eps: float,
+    meta: dict,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Exact range query via the grid index: (query_id, traj_id) pairs with
-    continuous Fréchet distance <= eps."""
+    continuous Fréchet distance <= eps.
+
+    ``symmetric=True`` is the self-join fast path (queries == dataset):
+    Fréchet distance is symmetric and candidacy after the F1/F2 predicates
+    is direction-independent, so only the query_id <= traj_id half is
+    refined and matches are mirrored — half the kernel work, identical
+    result set (tested)."""
     cand = grid_candidates(index_df, queries, eps, meta)
     accepted = cand.filter("accept_f3").select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
@@ -263,13 +279,16 @@ def range_query_grid(
         "ys",
         *[F.col(c) for c in extra],
     )
+    if symmetric:
+        to_refine = to_refine.filter(F.col("query_id") <= F.col("traj_id"))
     # Round-robin repartition before the Arrow kernel: the refine input is
     # small in BYTES but heavy in per-row CPU (free-space DP), so AQE's
     # byte-based coalescing would funnel it into one task. Explicit
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
     n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
     refined = to_refine.repartition(n_slots).mapInArrow(
-        _refine_map(eps, simp_levels), schema="query_id long, traj_id long"
+        _refine_map(eps, simp_levels, mirror=symmetric),
+        schema="query_id long, traj_id long",
     )
     return accepted.unionAll(refined)
 

@@ -196,3 +196,34 @@ def test_random_corpus_property(spark, tmp_path):
         got = set(map(tuple, range_query_grid(idx, cur, eps, meta).collect()))
         exp = set(map(tuple, range_query_bruteforce(raw, raw, eps).collect()))
         assert got == exp, f"trial={trial}: extra={got-exp} missing={exp-got}"
+
+
+def test_symmetric_self_join_identical(spark):
+    """The symmetric fast path (lower-triangle refine + mirror) returns
+    exactly the plain self-join result set."""
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_grid,
+    )
+    from frechetrange_spark.operators.simplifications import (
+        enrich_with_simplifications,
+    )
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+
+    curves = enrich_with_simplifications(
+        assemble_curves(trajectory_points(spark, "/root/testdata/sf0.001")),
+        levels=2,
+        fractions=(0.07, 0.6),
+    ).persist()
+    idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+    plain = set(map(tuple, range_query_grid(idx, curves, 15.0, meta).collect()))
+    sym = set(
+        map(
+            tuple,
+            range_query_grid(idx, curves, 15.0, meta, symmetric=True).collect(),
+        )
+    )
+    assert sym == plain
