@@ -12,9 +12,10 @@ Shape (classic filter-and-refine spatial join, SURVEY §2.3/§3.2):
    (dv/frechet_distance.hpp:44-47) — both plain column predicates.
 3. F3 farthest-MBR positive filter (grid.hpp:719-730): accepts without
    running any kernel.
-4. refine — Arrow-batched kernel funnel per candidate pair
-   (equal-time-distance accept, then the exact free-space decider),
-   inside ``mapInPandas``: no extra shuffle, early exit per row.
+4. refine — Arrow-batched kernel funnel per candidate pair (the
+   simplification funnel, the equal-time-distance accept, then the exact
+   free-space decider), inside ``mapInArrow``: one explicit round-robin
+   repartition, then no further shuffles between funnel stages.
 
 Everything before step 4 is whole-stage-codegen relational work; step 4 is
 the only Python, and it sees only survivors of the funnel.
@@ -22,10 +23,7 @@ the only Python, and it sees only survivors of the funnel.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
