@@ -110,7 +110,7 @@ def _q_endpoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_signature_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir).persist()
+    curves = _curves(spark, sf_dir).localCheckpoint()
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     return signature_candidates(curves, queries, EPS, MESH).select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
@@ -118,7 +118,7 @@ def _q_signature_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bb_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir).persist()
+    curves = _curves(spark, sf_dir).localCheckpoint()
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     return bb_range_query(curves, queries, EPS, MESH)
 
@@ -126,7 +126,7 @@ def _q_bb_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_decide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-surface demo: the registered SQL UDFs over sampled curve pairs."""
     register_all(spark)
-    curves = _curves(spark, sf_dir).persist()
+    curves = _curves(spark, sf_dir).localCheckpoint()
     a = curves.filter(F.col("traj_id") % QUERY_MOD == 0).select(
         F.col("traj_id").alias("id_a"),
         F.col("xs").alias("xs_a"),
@@ -153,7 +153,7 @@ def _q_decide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     curves = enrich_with_simplifications(
         _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
-    ).persist()
+    ).localCheckpoint()
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, queries, EPS, meta)
@@ -165,7 +165,7 @@ def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     evidence. Returns (query_id, traj_id) match pairs."""
     curves = enrich_with_simplifications(
         _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
-    ).persist()
+    ).localCheckpoint()
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, curves, EPS, meta, symmetric=True)
 

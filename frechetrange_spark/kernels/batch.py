@@ -24,8 +24,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from frechetrange_spark.kernels.core import equal_time_distance
-
 _INF = np.inf
 
 
@@ -291,6 +289,10 @@ def _padded_gather(
     repeating its last element (clip on the gather index — vectorized,
     no per-row allocation)."""
     lens = off[rows + 1] - off[rows]
+    if rows.size and int(lens.min()) < 1:
+        # a zero-length list row would gather flat[off[r]-1] — the previous
+        # curve's data — and silently corrupt the decision; fail loudly.
+        raise ValueError("padded gather requires every list row non-empty")
     idx = off[rows, None] + np.minimum(np.arange(width)[None, :], (lens - 1)[:, None])
     return flat[idx]
 
@@ -340,8 +342,24 @@ def decide_pairs_arrow(
     return out
 
 
-def distance_pairs_arrow(qxs, qys, xs, ys, chunk: int = 2048) -> np.ndarray:
-    """Batched bisection distance straight from pyarrow list columns."""
+def _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows):
+    """Padded (B,N,2)/(B,M,2) stacks for the selected pair rows."""
+    wp = int((oqx[rows + 1] - oqx[rows]).max())
+    wt = int((otx[rows + 1] - otx[rows]).max())
+    p = np.stack(
+        [_padded_gather(fqx, oqx, rows, wp), _padded_gather(fqy, oqy, rows, wp)],
+        axis=-1,
+    )
+    t = np.stack(
+        [_padded_gather(ftx, otx, rows, wt), _padded_gather(fty, oty, rows, wt)],
+        axis=-1,
+    )
+    return p, t
+
+
+def etd_pairs_arrow(qxs, qys, xs, ys, chunk: int = 4096) -> np.ndarray:
+    """Batched equal-time distance (F8) straight from pyarrow list columns,
+    size-bucketed padded gathers — zero per-row Python objects."""
     fqx, oqx = _list_buffers(qxs)
     fqy, oqy = _list_buffers(qys)
     ftx, otx = _list_buffers(xs)
@@ -350,15 +368,32 @@ def distance_pairs_arrow(qxs, qys, xs, ys, chunk: int = 2048) -> np.ndarray:
     out = np.empty(B, dtype=np.float64)
     if B == 0:
         return out
-    ps = [
-        np.column_stack([fqx[oqx[i] : oqx[i + 1]], fqy[oqy[i] : oqy[i + 1]]])
-        for i in range(B)
-    ]
-    ts = [
-        np.column_stack([ftx[otx[i] : otx[i + 1]], fty[oty[i] : oty[i + 1]]])
-        for i in range(B)
-    ]
-    return frechet_distance_pairs(ps, ts)
+    order = np.argsort(np.diff(oqx) + np.diff(otx))
+    for s in range(0, B, chunk):
+        rows = order[s : s + chunk]
+        p, t = _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows)
+        out[rows] = etd_batch(p, t)
+    return out
+
+
+def distance_pairs_arrow(qxs, qys, xs, ys, chunk: int = 2048) -> np.ndarray:
+    """Batched bisection distance straight from pyarrow list columns —
+    size-bucketed padded gathers feeding the lockstep bisection, same
+    zero-copy path as decide_pairs_arrow."""
+    fqx, oqx = _list_buffers(qxs)
+    fqy, oqy = _list_buffers(qys)
+    ftx, otx = _list_buffers(xs)
+    fty, oty = _list_buffers(ys)
+    B = len(oqx) - 1
+    out = np.empty(B, dtype=np.float64)
+    if B == 0:
+        return out
+    order = np.argsort(np.diff(oqx) + np.diff(otx))
+    for s in range(0, B, chunk):
+        rows = order[s : s + chunk]
+        p, t = _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows)
+        out[rows] = _frechet_distance_padded(p, t)
+    return out
 
 
 def decide_frechet_pairs(
@@ -402,22 +437,28 @@ def frechet_distance_batch(
     rel_tol: float = 1e-9,
     abs_tol: float = 1e-12,
 ) -> np.ndarray:
-    """Fréchet distance values for B pairs via lockstep bisection over the
-    batched decider. Brackets: lo = max endpoint distance (a lower bound),
-    hi = equal-time distance (upper bound, F8). Same tolerances and
-    semantics as core.frechet_distance."""
-    B = len(ps)
+    """Fréchet distance values for B ragged pairs: pad, then lockstep
+    bisection (see _frechet_distance_padded)."""
     p, _ = pad_curves([np.asarray(c, dtype=np.float64) for c in ps])
     q, _ = pad_curves([np.asarray(c, dtype=np.float64) for c in qs])
+    return _frechet_distance_padded(p, q, rel_tol, abs_tol)
 
+
+def _frechet_distance_padded(
+    p: np.ndarray,
+    q: np.ndarray,
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-12,
+) -> np.ndarray:
+    """Fréchet distance values for B last-vertex-padded pairs via lockstep
+    bisection over the batched decider. Brackets: lo = max endpoint distance
+    (a lower bound), hi = batched equal-time distance (upper bound, F8).
+    Same tolerances and semantics as core.frechet_distance."""
     lo = np.maximum(
         np.hypot(p[:, 0, 0] - q[:, 0, 0], p[:, 0, 1] - q[:, 0, 1]),
         np.hypot(p[:, -1, 0] - q[:, -1, 0], p[:, -1, 1] - q[:, -1, 1]),
     )
-    hi = np.empty(B, dtype=np.float64)
-    for i in range(B):
-        hi[i] = equal_time_distance(ps[i], qs[i])
-    hi = np.maximum(hi, lo)
+    hi = np.maximum(etd_batch(p, q), lo)
 
     out = np.where(hi <= lo, lo, np.nan)
     # pairs already decided at their lower bound collapse to lo

@@ -116,6 +116,10 @@ def simplification_levels(
     (e.g. (0.07, 0.6)) to get genuinely distinct resolutions — exactness
     never depends on the choice (the stored eps is always the certificate).
     """
+    if len(fractions) < levels:
+        raise ValueError(
+            f"need at least {levels} fractions, got {len(fractions)}: {fractions!r}"
+        )
     n = curve.shape[0]
     targets = []
     for i in range(levels):

@@ -47,7 +47,14 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     applyInPandasWithState / session_window; the batch form is the oracle.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # fractional-second gap (timestamp -> double = epoch seconds with
+    # microsecond fraction) — matches the oracle's epoch(ts), which is a
+    # DOUBLE; unix_timestamp() would truncate to whole seconds and split
+    # sessions differently for sub-second events near the gap boundary.
+    # TIMESTAMP_NTZ needs the hop via TIMESTAMP; any session-tz offset is a
+    # constant that cancels in the difference.
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    gap = ts_sec - F.lag(ts_sec).over(w)
     marked = events.withColumn(
         "_new",
         F.when(gap.isNull() | (gap > gap_sec), F.lit(1)).otherwise(F.lit(0)),

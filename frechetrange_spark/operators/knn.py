@@ -129,10 +129,11 @@ def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
 
 
 def _etd_kernel(batches):
+    """Batched ETD + endpoint lower bound per pair — padded-gather path
+    (kernels.batch), no per-row Python objects."""
     import pyarrow as pa
 
-    from frechetrange_spark.kernels import equal_time_distance
-    from frechetrange_spark.kernels.batch import _list_buffers
+    from frechetrange_spark.kernels.batch import _list_buffers, etd_pairs_arrow
 
     for rb in batches:
         fqx, oqx = _list_buffers(rb.column("q_xs"))
@@ -140,16 +141,19 @@ def _etd_kernel(batches):
         ftx, otx = _list_buffers(rb.column("xs"))
         fty, oty = _list_buffers(rb.column("ys"))
         B = len(oqx) - 1
-        etd = np.empty(B, dtype=np.float64)
-        lbs = np.empty(B, dtype=np.float64)
-        for i in range(B):
-            p = np.column_stack([fqx[oqx[i] : oqx[i + 1]], fqy[oqy[i] : oqy[i + 1]]])
-            t = np.column_stack([ftx[otx[i] : otx[i + 1]], fty[oty[i] : oty[i + 1]]])
-            etd[i] = equal_time_distance(p, t)
-            lbs[i] = max(
-                np.hypot(p[0, 0] - t[0, 0], p[0, 1] - t[0, 1]),
-                np.hypot(p[-1, 0] - t[-1, 0], p[-1, 1] - t[-1, 1]),
-            )
+        etd = etd_pairs_arrow(
+            rb.column("q_xs"), rb.column("q_ys"), rb.column("xs"), rb.column("ys")
+        )
+        rows = np.arange(B)
+        lbs = np.maximum(
+            np.hypot(
+                fqx[oqx[rows]] - ftx[otx[rows]], fqy[oqy[rows]] - fty[oty[rows]]
+            ),
+            np.hypot(
+                fqx[oqx[rows + 1] - 1] - ftx[otx[rows + 1] - 1],
+                fqy[oqy[rows + 1] - 1] - fty[oty[rows + 1] - 1],
+            ),
+        )
         yield pa.RecordBatch.from_arrays(
             [
                 rb.column("query_id"),
@@ -215,9 +219,11 @@ def knn_frechet(
     compatibility with the earlier eps-doubling implementation and ignored:
     the bound-and-prune pass needs no tuning parameters."""
     # curves feed three plan branches (scalar features, ETD arrays, final
-    # arrays); persist so the assembly lineage runs once.
-    curves = curves.persist()
-    queries = queries.persist()
+    # arrays); eager localCheckpoint materializes the assembly lineage once
+    # and its blocks are GC-cleaned with the DataFrame — nothing left for
+    # the caller to unpersist in a long-lived session.
+    curves = curves.localCheckpoint()
+    queries = queries.localCheckpoint()
     candidates = knn_candidates(curves, queries, k)
     survivors = etd_prune(curves, queries, candidates, k)
     pairs = _pairs_with_arrays(curves, queries, survivors)
