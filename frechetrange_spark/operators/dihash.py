@@ -47,3 +47,29 @@ def endpoint_candidates(
         .filter((d2_first < eps2) & (d2_last < eps2))
         .select("query_id", "traj_id")
     )
+
+
+def dihash_range_query(
+    curves: DataFrame, queries: DataFrame, eps: float, mesh: float
+) -> DataFrame:
+    """Exact range query via the di-hash probe set (the bddm engine
+    lifecycle, detail/bddm/spatial_hash.hpp:463-541): J3 endpoint
+    candidates -> batched exact decider. Result sets equal the dv-grid and
+    bb engines' (all exact) — the Spark analogue of the reference's
+    N-version cross-engine oracle (benchmark/test.py:26-74)."""
+    from frechetrange_spark.operators.range_query import _refine_map
+
+    cand = endpoint_candidates(curves, queries, eps, mesh)
+    q = queries.select(
+        F.col("traj_id").alias("query_id"),
+        F.col("xs").alias("q_xs"),
+        F.col("ys").alias("q_ys"),
+    )
+    t = curves.select("traj_id", "xs", "ys")
+    pairs = cand.join(q, "query_id").join(t, "traj_id").select(
+        "query_id", "traj_id", "q_xs", "q_ys", "xs", "ys"
+    )
+    n_slots = 2 * curves.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n_slots).mapInArrow(
+        _refine_map(eps), schema="query_id long, traj_id long"
+    )
