@@ -432,13 +432,19 @@ WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
 
 
 def _simhash_cte() -> str:
-    from frechetrange_spark.operators.dedup import SIMHASH_BITS
+    from frechetrange_spark.operators.dedup import _SIM_P, _simbit_params
 
     sums = ",\n         ".join(
-        f"SUM(((th >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(SIMHASH_BITS)
+        f"SUM((((th * {a} + {c}) % {_SIM_P}) % 2) * 2 - 1) AS s{b}"
+        for b, a, c in _simbit_params()
     )
+    # bit 63's place value is int64-min; spelled (-max - 1) so the literal
+    # parses as BIGINT, and added last so every partial sum stays in range
     sim = " + ".join(
-        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+        f"CASE WHEN s{b} > 0 THEN "
+        + (str(1 << b) if b < 63 else "(-9223372036854775807 - 1)")
+        + " ELSE 0 END"
+        for b, _, _ in _simbit_params()
     )
     return f"""
 thall AS (
@@ -468,7 +474,7 @@ WITH {_simhash_cte()}
 SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
        CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sim, b.sim)) <= 3
+WHERE bit_count(xor(a.sim, b.sim)) <= 7
 """
 
 

@@ -1,0 +1,111 @@
+"""Dedup operator properties beyond the driver's oracle gate: SimHash
+banding losslessness and scale behavior, and the Jaccard candidate path.
+
+The SimHash layout is 64 bits in 8 bands of 8 (operators/dedup.py): the
+band join is lossless for hamming <= 7 (pigeonhole), and the 256-value
+band space keeps bucket sizes proportional to true duplicate clusters on
+a skewed corpus — the property a 20-bit/4x5 layout lacks (its 32-value
+bands collect ~N/32 docs each and degenerate toward all-pairs at scale).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from frechetrange_spark.operators.dedup import (
+    SIM_BANDS,
+    SIM_BAND_BITS,
+    SIM_MAX_HAMMING,
+    SIMHASH_BITS,
+    jaccard_pairs,
+    minhash_lsh_dedup,
+    simhash,
+    simhash_pairs,
+)
+
+VOCAB = [
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+    "kilo lima mike november oscar papa quebec romeo sierra tango",
+    "uniform victor whiskey xray yankee zulu one two three four",
+]
+
+
+def _skewed_docs(spark, cluster: int = 40, tail: int = 160):
+    """Deterministic skewed corpus: ``cluster`` near-identical docs (one
+    token swapped per variant) + ``tail`` diverse docs."""
+    base = (VOCAB[0] + " " + VOCAB[1]) * 2
+    rows = []
+    for i in range(cluster):
+        toks = base.split(" ")
+        toks[i % len(toks)] = f"tok{i}"
+        rows.append((i, " ".join(toks)))
+    for j in range(tail):
+        words = [
+            VOCAB[(j + k) % 3].split(" ")[(j * 7 + k * 3) % 10]
+            + str((j * 13 + k) % 97)
+            for k in range(30)
+        ]
+        rows.append((cluster + j, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _u64(v: int) -> int:
+    return v & ((1 << 64) - 1)
+
+
+def test_simhash_band_join_is_lossless(spark):
+    """The 8x8 band join returns EXACTLY the all-pairs hamming<=7 answer."""
+    docs = _skewed_docs(spark)
+    s = simhash(docs).toPandas()
+    sims = dict(zip(s["doc_id"], s["sim"]))
+    ids = sorted(sims)
+    expected = set()
+    for ii, a in enumerate(ids):
+        for b in ids[ii + 1 :]:
+            if (_u64(int(sims[a])) ^ _u64(int(sims[b]))).bit_count() <= SIM_MAX_HAMMING:
+                expected.add((a, b))
+    got = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in simhash_pairs(docs).collect()
+    }
+    assert got == expected
+    # the near-dup cluster must actually be found
+    assert sum(1 for a, b in got if a < 40 and b < 40) > 0
+
+
+def test_band_buckets_track_clusters_not_corpus_size(spark):
+    """On a skewed corpus the 8-bit bands keep the max bucket near the true
+    duplicate-cluster size, while a 5-bit layout over the same signatures
+    (the old 20-bit geometry) produces buckets that scale with N/32."""
+    cluster, tail = 40, 600
+    docs = _skewed_docs(spark, cluster, tail)
+    s = simhash(docs).toPandas()
+    # the discriminating population is the DIVERSE tail (no true near-dups):
+    # bucket mass there is pure banding collision, the all-pairs driver
+    tail_mask = s["doc_id"].to_numpy() >= cluster
+    vals = np.array(
+        [_u64(int(v)) for v in s["sim"][tail_mask]], dtype=np.uint64
+    )
+
+    def max_bucket(band_bits: int, n_bands: int) -> int:
+        mx = 0
+        for k in range(n_bands):
+            bandvals = (vals >> np.uint64(k * band_bits)) & np.uint64(
+                (1 << band_bits) - 1
+            )
+            _, counts = np.unique(bandvals, return_counts=True)
+            mx = max(mx, int(counts.max()))
+        return mx
+
+    assert SIMHASH_BITS == 64 and SIM_BANDS == 8 and SIM_BAND_BITS == 8
+    wide = max_bucket(8, 8)
+    narrow = max_bucket(5, 4)  # the old 20-bit/4x5 geometry, low 20 bits
+    # 5-bit bands collect ~tail/32 docs per bucket; 8-bit bands stay sparse
+    assert narrow >= tail // 32
+    assert wide * 2 <= narrow
+
+
+def test_simhash_pairs_rejects_above_band_bound(spark):
+    docs = _skewed_docs(spark, 8, 16)
+    with pytest.raises(AssertionError):
+        simhash_pairs(docs, max_hamming=SIM_BANDS)
