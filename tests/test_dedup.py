@@ -109,3 +109,75 @@ def test_simhash_pairs_rejects_above_band_bound(spark):
     docs = _skewed_docs(spark, 8, 16)
     with pytest.raises(AssertionError):
         simhash_pairs(docs, max_hamming=SIM_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# Jaccard: verify path (per-candidate scoring) and the DF cap
+# ---------------------------------------------------------------------------
+
+
+def _pairs(df):
+    return {
+        (r["doc_id_1"], r["doc_id_2"], round(r["jaccard"], 12))
+        for r in df.collect()
+    }
+
+
+def test_jaccard_verify_path_equals_standalone(spark):
+    """Scoring candidate pairs directly (no shingle self-join) returns the
+    same jaccard values the standalone path computes for those pairs —
+    including on a corpus with a hot stop-shingle shared by every doc."""
+    docs = _skewed_docs(spark, 20, 40)
+    # inject a stop-shingle: the same 3-token prefix on every document
+    docs = docs.select(
+        "doc_id", F.concat(F.lit("the quick fox "), F.col("text")).alias("text")
+    )
+    standalone = jaccard_pairs(docs, 0.2)
+    want = _pairs(standalone)
+    cand = standalone.select("doc_id_1", "doc_id_2")
+    got = _pairs(jaccard_pairs(docs, 0.2, candidates=cand))
+    assert got == want
+
+
+def test_jaccard_verify_path_has_no_shingle_self_join(spark):
+    """The verify plan restricts both shingle sides with candidate-id
+    semi-joins before any shingle equi-join runs."""
+    docs = _skewed_docs(spark, 10, 10)
+    cand = spark.createDataFrame(
+        [(0, 1), (2, 3)], "doc_id_1 long, doc_id_2 long"
+    )
+    plan = jaccard_pairs(docs, 0.1, candidates=cand)._jdf.queryExecution().toString()
+    assert "LeftSemi" in plan
+
+
+def test_jaccard_df_cap_is_identity_when_loose(spark):
+    """max_df >= the corpus's true max shingle DF changes nothing."""
+    docs = _skewed_docs(spark, 15, 30)
+    n = docs.count()
+    assert _pairs(jaccard_pairs(docs, 0.3, max_df=n)) == _pairs(
+        jaccard_pairs(docs, 0.3)
+    )
+
+
+def test_jaccard_df_cap_drops_stop_shingles(spark):
+    """With a tight cap, pairs related ONLY through a universal stop-
+    shingle disappear while true near-dups survive."""
+    rows = [(i, "aa bb cc " + " ".join(f"w{i}x{k}" for k in range(20))) for i in range(12)]
+    rows += [(100, "aa bb cc dd ee ff gg hh"), (101, "aa bb cc dd ee ff gg hh")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = _pairs(jaccard_pairs(docs, 0.05))
+    capped = _pairs(jaccard_pairs(docs, 0.05, max_df=4))
+    # the exact-dup pair survives the cap at full score
+    assert any(a == 100 and b == 101 and j == 1.0 for a, b, j in capped)
+    # stop-shingle-only relations are gone
+    assert len(capped) < len(uncapped)
+
+
+def test_minhash_lsh_still_verifies_exactly(spark):
+    """The LSH pipeline (bands -> candidates -> direct verify) returns
+    pairs whose jaccard equals the standalone computation."""
+    docs = _skewed_docs(spark, 20, 40)
+    got = _pairs(minhash_lsh_dedup(docs, 0.5))
+    full = _pairs(jaccard_pairs(docs, 0.5))
+    # LSH may miss pairs (recall < 1) but never invents or mis-scores
+    assert got <= full
