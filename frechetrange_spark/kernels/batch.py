@@ -273,6 +273,46 @@ def etd_batch(p: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.sqrt(d2.max(axis=1))
 
 
+def greedy_ub_batch(
+    p: np.ndarray, q: np.ndarray, lens_p: np.ndarray, lens_q: np.ndarray
+) -> np.ndarray:
+    """F4 batched: greedy monotone alignment upper bound
+    (detail/bb/spatial_index.hpp:251-278) in lockstep over B padded pairs —
+    every pair advances its own (i, j) pointers, each step one vectorized
+    gather. Bit-identical to core.greedy_upper_bound per pair (tested):
+    diagonal wins ties, then the i-step (the scalar's min()/== order)."""
+    B = p.shape[0]
+    rows = np.arange(B)
+    n = np.asarray(lens_p, dtype=np.int64)
+    m = np.asarray(lens_q, dtype=np.int64)
+    i = np.zeros(B, dtype=np.int64)
+    j = np.zeros(B, dtype=np.int64)
+
+    def d2_at(ii: np.ndarray, jj: np.ndarray) -> np.ndarray:
+        d = p[rows, ii] - q[rows, jj]
+        return d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1]
+
+    best = d2_at(i, j)
+    active = (i < n - 1) | (j < m - 1)
+    while active.any():
+        can_i = i < n - 1
+        can_j = j < m - 1
+        i1 = np.minimum(i + 1, n - 1)
+        j1 = np.minimum(j + 1, m - 1)
+        a = np.where(can_i, d2_at(i1, j), _INF)
+        b = np.where(can_j, d2_at(i, j1), _INF)
+        c = np.where(can_i & can_j, d2_at(i1, j1), _INF)
+        step = np.minimum(np.minimum(a, b), c)
+        diag = active & (step == c)
+        ai = active & ~diag & (step == a)
+        bj = active & ~diag & ~ai
+        i = np.where(diag | ai, i1, i)
+        j = np.where(diag | bj, j1, j)
+        best = np.where(active & (step > best), step, best)
+        active = (i < n - 1) | (j < m - 1)
+    return np.sqrt(best)
+
+
 def _list_buffers(arr) -> tuple[np.ndarray, np.ndarray]:
     """(flat_values, absolute_offsets) of a pyarrow ListArray — zero-copy."""
     import pyarrow as pa
@@ -297,24 +337,60 @@ def _padded_gather(
     return flat[idx]
 
 
+# funnel stage codes reported by decide_pairs_arrow(return_stages=True)
+STAGE_ETD_ACCEPT = 1  # F8 equal-time upper bound <= eps
+STAGE_GREEDY_ACCEPT = 2  # F4 greedy upper bound <= eps
+STAGE_NEG_REJECT = 3  # F5 negative filter proved > eps
+STAGE_DECIDER_YES = 4  # K5 free-space DP
+STAGE_DECIDER_NO = 5
+
+STAGE_NAMES = {
+    STAGE_ETD_ACCEPT: "etd_accept",
+    STAGE_GREEDY_ACCEPT: "greedy_accept",
+    STAGE_NEG_REJECT: "neg_reject",
+    STAGE_DECIDER_YES: "decider_yes",
+    STAGE_DECIDER_NO: "decider_no",
+}
+
+
 def decide_pairs_arrow(
-    qxs, qys, xs, ys, eps, chunk: int = 4096, etd_accept: bool = True
+    qxs,
+    qys,
+    xs,
+    ys,
+    eps,
+    chunk: int = 4096,
+    etd_accept: bool = True,
+    greedy_accept: bool = False,
+    neg_reject: bool = False,
+    return_stages: bool = False,
 ) -> np.ndarray:
     """Batched decision straight from pyarrow list columns (B rows), with
-    size-bucketed padding. Returns bool (B,).
+    size-bucketed padding. Returns bool (B,), or (bool, stage int8) with
+    ``return_stages``.
 
-    ``etd_accept``: run the batched equal-time-distance upper bound first
-    (F8) — pairs with ETD <= eps are accepted without the O(N*M) sweep.
-    The decider answers identically; this only changes cost (accept-heavy
-    workloads skip the full diagram for most pairs)."""
+    Filter pack in the reference bb order (F4 accept -> F5 reject ->
+    decider, detail/bb/spatial_index.hpp:198-209), plus the bddm ETD
+    accept (F8) first — every filter is result-set invariant (tested);
+    flags only change cost:
+
+    - ``etd_accept``: batched equal-time-distance upper bound — pairs with
+      ETD <= eps accepted without the O(N*M) sweep.
+    - ``greedy_accept``: F4 batched greedy upper bound on the remainder.
+    - ``neg_reject``: F5 galloping negative filter, scalar per pair on the
+      post-accept remainder only (the funnel tail — its cost tracks the
+      undecided count, not the candidate count)."""
+    from frechetrange_spark.kernels.core import negfilter
+
     fqx, oqx = _list_buffers(qxs)
     fqy, oqy = _list_buffers(qys)
     ftx, otx = _list_buffers(xs)
     fty, oty = _list_buffers(ys)
     B = len(oqx) - 1
     out = np.zeros(B, dtype=bool)
+    stages = np.zeros(B, dtype=np.int8)
     if B == 0:
-        return out
+        return (out, stages) if return_stages else out
     eps_arr = np.broadcast_to(np.asarray(eps, dtype=np.float64), (B,))
     lens_p = np.diff(oqx)
     lens_t = np.diff(otx)
@@ -331,15 +407,38 @@ def decide_pairs_arrow(
             [_padded_gather(ftx, otx, rows, wt), _padded_gather(fty, oty, rows, wt)],
             axis=-1,
         )
+        e = eps_arr[rows]
         res = np.zeros(rows.size, dtype=bool)
+        stg = np.zeros(rows.size, dtype=np.int8)
         todo = np.arange(rows.size)
         if etd_accept:
-            res = etd_batch(p, t) <= eps_arr[rows]
+            acc = etd_batch(p, t) <= e
+            res |= acc
+            stg[acc] = STAGE_ETD_ACCEPT
             todo = np.nonzero(~res)[0]
+        if greedy_accept and todo.size:
+            ub = greedy_ub_batch(
+                p[todo], t[todo], lens_p[rows][todo], lens_t[rows][todo]
+            )
+            acc = ub <= e[todo]
+            res[todo[acc]] = True
+            stg[todo[acc]] = STAGE_GREEDY_ACCEPT
+            todo = todo[~acc]
+        if neg_reject and todo.size:
+            lp = lens_p[rows]
+            lt = lens_t[rows]
+            drop = np.zeros(todo.size, dtype=bool)
+            for ii, k in enumerate(todo):
+                drop[ii] = negfilter(p[k, : lp[k]], t[k, : lt[k]], float(e[k]))
+            stg[todo[drop]] = STAGE_NEG_REJECT
+            todo = todo[~drop]
         if todo.size:
-            res[todo] = decide_frechet_batch(p[todo], t[todo], eps_arr[rows][todo])
+            dec = decide_frechet_batch(p[todo], t[todo], e[todo])
+            res[todo] = dec
+            stg[todo] = np.where(dec, STAGE_DECIDER_YES, STAGE_DECIDER_NO)
         out[rows] = res
-    return out
+        stages[rows] = stg
+    return (out, stages) if return_stages else out
 
 
 def _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows):

@@ -147,10 +147,24 @@ def grid_candidates(
     return joined.filter(f2 & f1).withColumn("accept_f3", f3)
 
 
-def _refine_map(eps: float, simp_levels: int = 0, mirror: bool = False):
+def _refine_map(
+    eps: float,
+    simp_levels: int = 0,
+    mirror: bool = False,
+    greedy_accept: bool = False,
+    neg_reject: bool = False,
+    stats: bool = False,
+):
     """Arrow-native refine: the exact decider (K5) batched over every pair
     in each RecordBatch — list buffers are gathered into padded (B, N, 2)
     matrices with zero per-row Python objects (see kernels.batch).
+
+    ``greedy_accept``/``neg_reject`` wire the bb filter pack (F4/F5,
+    reference order detail/bb/spatial_index.hpp:198-209) into the
+    full-resolution stage; result sets are invariant (tested), only cost
+    changes. ``stats`` switches the output to one row PER CANDIDATE with
+    its funnel stage and verdict — (query_id, traj_id, stage, accepted) —
+    for funnel metrics; the default emits accepted pairs only.
 
     With ``simp_levels > 0`` the bddm simplification funnel (F9,
     detail/bddm/spatial_hash.hpp:771-821) runs first: per level i, compare
@@ -183,9 +197,12 @@ def _refine_map(eps: float, simp_levels: int = 0, mirror: bool = False):
                 axis=-1,
             )
 
+        from frechetrange_spark.kernels.batch import STAGE_NAMES
+
         for rb in batches:
             B = rb.num_rows
             result = np.zeros(B, dtype=bool)
+            stage = np.full(B, "", dtype=object) if stats else None
             und = np.arange(B)
             for i in range(simp_levels):
                 if und.size == 0:
@@ -206,20 +223,50 @@ def _refine_map(eps: float, simp_levels: int = 0, mirror: bool = False):
                 if todo.size:
                     no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
                 result[und[yes]] = True
+                if stats:
+                    stage[und[yes]] = f"simp{i}_yes"
+                    stage[und[~yes & no]] = f"simp{i}_no"
                 und = und[~yes & ~no]
             if und.size:
-                # full-resolution fallback (ETD accept inside)
+                # full-resolution fallback (ETD accept + optional F4/F5)
                 sub = rb.take(pa.array(und))
-                result[und] = decide_pairs_arrow(
+                res, codes = decide_pairs_arrow(
                     sub.column("q_xs"),
                     sub.column("q_ys"),
                     sub.column("xs"),
                     sub.column("ys"),
                     eps,
+                    greedy_accept=greedy_accept,
+                    neg_reject=neg_reject,
+                    return_stages=True,
                 )
+                result[und] = res
+                if stats:
+                    stage[und] = [STAGE_NAMES[c] for c in codes]
+            all_qid = rb.column("query_id").to_numpy(zero_copy_only=False)
+            all_tid = rb.column("traj_id").to_numpy(zero_copy_only=False)
+            if stats:
+                qid, tid, acc = all_qid, all_tid, result
+                stg = stage
+                if mirror:
+                    off = (qid != tid) & acc
+                    qid = np.concatenate([qid, tid[off]])
+                    tid = np.concatenate([tid, all_qid[off]])
+                    acc = np.concatenate([acc, acc[off]])
+                    stg = np.concatenate([stg, stage[off]])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(qid),
+                        pa.array(tid),
+                        pa.array(list(stg), type=pa.string()),
+                        pa.array(acc),
+                    ],
+                    ["query_id", "traj_id", "stage", "accepted"],
+                )
+                continue
             idx = np.nonzero(result)[0]
-            qid = rb.column("query_id").to_numpy(zero_copy_only=False)[idx]
-            tid = rb.column("traj_id").to_numpy(zero_copy_only=False)[idx]
+            qid = all_qid[idx]
+            tid = all_tid[idx]
             if mirror:
                 # symmetric self-join: emit (t, q) for every off-diagonal
                 # (q, t) match — Fréchet distance is symmetric
@@ -234,6 +281,8 @@ def _refine_map(eps: float, simp_levels: int = 0, mirror: bool = False):
 
     return fn
 
+REFINE_STATS_SCHEMA = "query_id long, traj_id long, stage string, accepted boolean"
+
 
 def range_query_grid(
     index_df: DataFrame,
@@ -241,6 +290,9 @@ def range_query_grid(
     eps: float,
     meta: dict,
     symmetric: bool = False,
+    greedy_accept: bool = True,
+    neg_reject: bool = False,
+    funnel_stats: bool = False,
 ) -> DataFrame:
     """Exact range query via the grid index: (query_id, traj_id) pairs with
     continuous Fréchet distance <= eps.
@@ -249,11 +301,28 @@ def range_query_grid(
     Fréchet distance is symmetric and candidacy after the F1/F2 predicates
     is direction-independent, so only the query_id <= traj_id half is
     refined and matches are mirrored — half the kernel work, identical
-    result set (tested)."""
+    result set (tested).
+
+    ``greedy_accept``/``neg_reject`` toggle the bb F4/F5 filter pack in
+    the refine funnel (result-set invariant, tested). Measured at sf0.01
+    self-join: F4 accepts ~19% of the pairs reaching the full-resolution
+    stage (on by default); F5's galloping reject fires on <2% there while
+    costing a scalar pass per undecided pair (off by default — enable for
+    reject-heavy workloads). ``funnel_stats=True``
+    returns per-candidate funnel rows (query_id, traj_id, stage, accepted)
+    instead of match pairs — F3-accepted candidates appear with stage
+    'f3_accept'; filter the ``accepted`` column for the match set."""
     cand = grid_candidates(index_df, queries, eps, meta)
     accepted = cand.filter("accept_f3").select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
     )
+    if funnel_stats:
+        accepted = accepted.select(
+            "query_id",
+            "traj_id",
+            F.lit("f3_accept").alias("stage"),
+            F.lit(True).alias("accepted"),
+        )
     # funnel columns (Agarwal simplifications) ride along when the index
     # was enriched on BOTH sides
     simp_levels = 0
@@ -285,8 +354,15 @@ def range_query_grid(
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
     n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
     refined = to_refine.repartition(n_slots).mapInArrow(
-        _refine_map(eps, simp_levels, mirror=symmetric),
-        schema="query_id long, traj_id long",
+        _refine_map(
+            eps,
+            simp_levels,
+            mirror=symmetric,
+            greedy_accept=greedy_accept,
+            neg_reject=neg_reject,
+            stats=funnel_stats,
+        ),
+        schema=REFINE_STATS_SCHEMA if funnel_stats else "query_id long, traj_id long",
     )
     return accepted.unionAll(refined)
 

@@ -59,11 +59,19 @@ def signature_candidates(
 
 
 def bb_range_query(
-    curves: DataFrame, queries: DataFrame, eps: float, mesh: float
+    curves: DataFrame,
+    queries: DataFrame,
+    eps: float,
+    mesh: float,
+    greedy_accept: bool = True,
+    neg_reject: bool = True,
 ) -> DataFrame:
     """Exact range query via the signature join (bb lifecycle, SURVEY
-    §3.3 footnote): J2 candidates -> batched exact decider. Result sets
-    equal the dv-grid engine's (both exact)."""
+    §3.3 footnote): J2 candidates -> the bb filter pack (F4 greedy accept,
+    F5 negative filter — the reference's decide_frechet order,
+    detail/bb/spatial_index.hpp:198-209) -> batched exact decider. Result
+    sets equal the dv-grid engine's (both exact; the filters are
+    result-set invariant and on by default here for engine parity)."""
     cand = signature_candidates(curves, queries, eps, mesh).select(
         F.col("q_traj_id").alias("query_id"),
         "traj_id",
@@ -74,5 +82,6 @@ def bb_range_query(
     )
     n_slots = 2 * curves.sparkSession.sparkContext.defaultParallelism
     return cand.repartition(n_slots).mapInArrow(
-        _refine_map(eps), schema="query_id long, traj_id long"
+        _refine_map(eps, greedy_accept=greedy_accept, neg_reject=neg_reject),
+        schema="query_id long, traj_id long",
     )

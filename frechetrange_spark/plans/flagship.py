@@ -37,6 +37,7 @@ def flagship_pipeline(
     query_mod: int | None = None,
     levels: int = 2,
     fractions: tuple[float, ...] = (0.07, 0.6),
+    funnel_stats: bool = False,
 ) -> DataFrame:
     """Run (or resume) the checkpointed flagship; returns the match pairs
     DataFrame backed by the ``matches`` snapshot."""
@@ -70,12 +71,16 @@ def flagship_pipeline(
         if query_mod is not None:
             queries = index_df.filter(F.col("traj_id") % query_mod == 0)
         return range_query_grid(
-            index_df, queries, eps, {"mesh": mesh, "corner": "min_min"}
+            index_df,
+            queries,
+            eps,
+            {"mesh": mesh, "corner": "min_min"},
+            funnel_stats=funnel_stats,
         )
 
     return pipe.run_stage(
         "matches",
         run_query,
-        params={"eps": eps, "query_mod": query_mod},
+        params={"eps": eps, "query_mod": query_mod, "funnel_stats": funnel_stats},
         parents=["index"],
     )

@@ -25,6 +25,12 @@ def main() -> None:
     ap.add_argument("--mesh", type=float, default=15.0)
     ap.add_argument("--query-mod", type=int, default=None)
     ap.add_argument("--output", default=None, help="parquet output path")
+    ap.add_argument(
+        "--funnel-stats",
+        action="store_true",
+        help="emit one row per refine candidate with its funnel stage and "
+        "print per-stage counts (the SURVEY §7 step-4 metrics)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -46,8 +52,22 @@ def main() -> None:
         eps=args.eps,
         mesh=args.mesh,
         query_mod=args.query_mod,
+        funnel_stats=args.funnel_stats,
     )
-    n = matches.count()
+    if args.funnel_stats:
+        from pyspark.sql import functions as F
+
+        rows = (
+            matches.groupBy("stage", "accepted")
+            .agg(F.count("*").alias("n"))
+            .orderBy("stage")
+            .collect()
+        )
+        for r in rows:
+            print(f"funnel {r['stage']:>14} accepted={r['accepted']} n={r['n']}")
+        n = matches.filter("accepted").count()
+    else:
+        n = matches.count()
     print(f"flagship matches: {n}")
     if args.output:
         matches.write.mode("overwrite").parquet(args.output)
