@@ -221,6 +221,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
         ).select("doc_id", F.element_at("features", 1).alias("f0")),
+        "media_decode": lambda s, d: multimodal.decode_summary(_docs(s, d)),
+        "resize_images": lambda s, d: multimodal.resize_images(
+            multimodal.synth_media_binary(_docs(s, d)), 8, 8
+        ).select(
+            "doc_id",
+            "width",
+            "height",
+            F.aggregate(
+                "pixels", F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("pix_sum"),
+        ),
         # spatial extensions
         "point_in_polygon": lambda s, d: point_in_polygon(
             trajectory_points(s, d), polygons_df(s)
@@ -277,6 +288,9 @@ def oracle_sql() -> dict[str, str]:
         #   (numpy-verified in tests/test_similarity.py)
         "media_meta": oracles.MEDIA_META_SQL,
         "frame_sample": oracles.FRAME_SAMPLE_SQL,
+        "media_decode": oracles.MEDIA_DECODE_SQL,
+        # "resize_images": numpy gather kernel — rows-only check
+        #   (nearest-neighbor parity verified in tests/test_multimodal.py)
         # "media_features": binary-kernel op — rows-only check
         "point_in_polygon": oracles.POINT_IN_POLYGON_SQL,
         "rasterize": oracles.RASTERIZE_SQL,

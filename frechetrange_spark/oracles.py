@@ -494,6 +494,40 @@ SELECT doc_id,
 FROM documents
 """
 
+def _media_decode_sql() -> str:
+    from frechetrange_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        WAV_SAMPLES,
+    )
+
+    n_img = IMG_W * IMG_H * 3
+    return f"""
+WITH img AS (
+  SELECT doc_id, 'image' AS media_type,
+         CAST({IMG_W} AS BIGINT) AS width, CAST({IMG_H} AS BIGINT) AS height,
+         CAST({n_img} AS BIGINT) AS n_values,
+         CAST(SUM((doc_id*7 + i*13) % 256) AS BIGINT) AS value_sum
+  FROM documents,
+       (SELECT unnest(generate_series(0, {n_img - 1})) AS i) g
+  WHERE doc_id % 3 = 0
+  GROUP BY doc_id
+), aud AS (
+  SELECT doc_id, 'audio' AS media_type,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST({WAV_SAMPLES} AS BIGINT) AS n_values,
+         CAST(SUM(((doc_id*31 + i*17) % 65536) - 32768) AS BIGINT) AS value_sum
+  FROM documents,
+       (SELECT unnest(generate_series(0, {WAV_SAMPLES - 1})) AS i) g
+  WHERE doc_id % 3 = 1
+  GROUP BY doc_id
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
+
+
+MEDIA_DECODE_SQL = _media_decode_sql()
+
 FRAME_SAMPLE_SQL = """
 WITH media AS (
   SELECT doc_id, CAST((doc_id * 97) % 60000 AS BIGINT) AS duration_ms

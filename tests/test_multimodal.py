@@ -1,5 +1,6 @@
-"""Multimodal plumbing tests: deterministic media table, Arrow-batched
-feature extraction shape/values, frame-sampling plan, stubbed decode."""
+"""Multimodal tests: deterministic media table, Arrow-batched feature
+extraction shape/values, frame-sampling plan, and the real PPM/WAV codecs
+(decode round-trips, header/chunk robustness, nearest-neighbor resize)."""
 
 import numpy as np
 import pytest
@@ -7,12 +8,23 @@ from pyspark.sql import functions as F
 
 from frechetrange_spark.operators.multimodal import (
     FEATURE_BINS,
+    IMG_H,
+    IMG_W,
+    WAV_RATE,
+    WAV_SAMPLES,
+    _img_pixels,
+    _wav_samples,
     decode_media,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     frame_sample,
     media_meta,
     resize_images,
     synth_media,
+    synth_media_binary,
 )
 from tests.conftest import SF_SMALL
 
@@ -59,9 +71,91 @@ def test_frame_sample_plan(spark, docs):
     assert (pdf["n"] == (pdf["duration_ms"] - 1) // 1000 + 1).all()
 
 
-def test_decode_and_resize_are_stubbed(spark, docs):
-    m = synth_media(docs)
-    with pytest.raises(NotImplementedError):
-        decode_media(m)
-    with pytest.raises(NotImplementedError):
-        resize_images(m, 32, 32)
+# ---------------------------------------------------------------------------
+# Real codecs
+# ---------------------------------------------------------------------------
+
+
+def test_ppm_roundtrip_local():
+    px = _img_pixels(42)
+    w, h, got = decode_ppm(encode_ppm(px, IMG_W, IMG_H))
+    assert (w, h) == (IMG_W, IMG_H)
+    assert np.array_equal(got, px)
+
+
+def test_ppm_header_grammar():
+    """Comments and arbitrary whitespace in the header parse correctly."""
+    px = np.arange(2 * 2 * 3, dtype=np.uint8)
+    payload = b"P6 # comment\n# another\n  2\t2 \n255\n" + px.tobytes()
+    w, h, got = decode_ppm(payload)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(got, px)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + px.tobytes())
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + px.tobytes())
+
+
+def test_wav_roundtrip_local():
+    smp = _wav_samples(17)
+    rate, got = decode_wav(encode_wav(smp))
+    assert rate == WAV_RATE
+    assert np.array_equal(got, smp)
+
+
+def test_wav_tolerates_extra_chunks():
+    smp = np.array([1, -2, 3], dtype=np.int16)
+    wav = encode_wav(smp)
+    # splice a LIST chunk (odd size -> exercises word-alignment) after fmt
+    extra = b"LIST" + (5).to_bytes(4, "little") + b"abcde" + b"\x00"
+    spliced = wav[:36] + extra + wav[36:]
+    rate, got = decode_wav(spliced)
+    assert rate == WAV_RATE
+    assert np.array_equal(got, smp)
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")
+
+
+def test_decode_media_distributed_roundtrip(spark, docs):
+    """decode(synth_media_binary(docs)) reproduces the generator formulas
+    exactly through the full Spark/Arrow path."""
+    sub = docs.filter("doc_id < 30")
+    rows = decode_media(synth_media_binary(sub)).collect()
+    assert len(rows) == sub.filter("doc_id % 3 != 2").count()
+    for r in rows:
+        d = r["doc_id"]
+        if r["media_type"] == "image":
+            assert (r["width"], r["height"]) == (IMG_W, IMG_H)
+            assert np.array_equal(np.array(r["values"]), _img_pixels(d))
+        else:
+            assert r["sample_rate"] == WAV_RATE
+            assert len(r["values"]) == WAV_SAMPLES
+            assert np.array_equal(np.array(r["values"]), _wav_samples(d))
+
+
+def test_resize_nearest_neighbor_parity(spark, docs):
+    sub = docs.filter("doc_id < 30")
+    got = {
+        r["doc_id"]: np.array(r["pixels"])
+        for r in resize_images(synth_media_binary(sub), 8, 8).collect()
+    }
+    assert len(got) == sub.filter("doc_id % 3 = 0").count()
+    for d, pix in got.items():
+        img = _img_pixels(d).reshape(IMG_H, IMG_W, 3)
+        ys = (np.arange(8) * IMG_H) // 8
+        xs = (np.arange(8) * IMG_W) // 8
+        want = img[ys][:, xs].reshape(-1)
+        assert np.array_equal(pix, want)
+
+
+def test_video_decode_remains_stubbed(spark, docs):
+    """Only container demux (video) is stubbed now; decoding a video-typed
+    row raises inside the kernel."""
+    m = synth_media(docs).filter("media_type = 'video'").limit(1)
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        decode_media(m).collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, Py4JJavaError
+    )
