@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props": lambda s, d: events_ops.props_extract(_events(s, d)),
         # similarity search (embeddings)
         "ann_topk": lambda s, d: similarity.ann_topk_bruteforce(_emb(s, d)),
+        "ann_topk_ivf": lambda s, d: similarity.ann_topk_ivf(_emb(s, d)),
         "neardup_lsh": lambda s, d: similarity.neardup_lsh(_emb(s, d)),
         # multimodal
         "media_meta": lambda s, d: multimodal.media_meta(_docs(s, d)),

@@ -99,14 +99,175 @@ def ann_topk_bruteforce(
     local = emb.select("vec_id", "embedding").mapInPandas(
         kernel, schema="query_id long, vec_id long, cosine double"
     )
+    return _topk_window(local, kk)
+
+
+IVF_SEED = 20240202
+
+
+def _topk_window(local: DataFrame, k: int) -> DataFrame:
+    """Global exact top-k per query from per-partition local top-k rows."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()
     )
     return (
         local.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= kk)
-        .select("query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", "cosine", F.col("rank").cast("long").alias("rank")
+        )
     )
+
+
+def kmeans_centroids(
+    sample: np.ndarray, n_cells: int, iters: int = 15
+) -> np.ndarray:
+    """Deterministic spherical k-means (cosine) on a sample matrix:
+    k-means++ init from a fixed-seed generator, Lloyd iterations with
+    normalized centroid means; empty cells keep their previous centroid.
+    Returns (n_cells, dim) unit rows."""
+    rng = np.random.default_rng(IVF_SEED)
+    X = _normalize_rows(sample)
+    n = X.shape[0]
+    n_cells = min(n_cells, n)
+    # k-means++ (distance = 1 - cosine)
+    first = int(rng.integers(n))
+    cents = [X[first]]
+    d = 1.0 - X @ cents[0]
+    for _ in range(1, n_cells):
+        p = np.maximum(d, 0.0)
+        tot = p.sum()
+        if tot <= 0.0:
+            idx = int(rng.integers(n))
+        else:
+            idx = int(rng.choice(n, p=p / tot))
+        cents.append(X[idx])
+        d = np.minimum(d, 1.0 - X @ cents[-1])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if members.shape[0]:
+                C[c] = members.sum(axis=0)
+        C = _normalize_rows(C)
+    return C
+
+
+def ivf_fit_centroids(
+    emb: DataFrame, n_cells: int = 16, max_sample: int = 4096
+) -> np.ndarray:
+    """IVF coarse quantizer fit: deterministic sample (lowest vec_ids — at
+    cluster scale swap for a seeded TABLESAMPLE; the fit only needs a
+    representative few thousand rows), then driver-side spherical
+    k-means. The centroid matrix is tiny (n_cells x dim) and ships to
+    executors in the task closure."""
+    pdf = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(int(max_sample))
+        .toPandas()
+    )
+    return kmeans_centroids(np.stack(pdf["embedding"].to_numpy()), n_cells)
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one Arrow-batched
+    matmul per batch. At scale, write the base table partitioned by this
+    column so probes prune file groups."""
+    C = _normalize_rows(centroids)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+            cell = np.argmax(m @ C.T, axis=1).astype(np.int64)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].values, "cell": cell})
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, cell long"
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 50,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    n_assign: int = 3,
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rank): approximate top-k cosine
+    neighbors via an IVF coarse quantizer — each query scores only base
+    vectors assigned to one of its ``n_probe`` nearest centroid cells.
+
+    ``n_assign`` is base-side multi-assignment (the IVF "spill" trick):
+    each base vector is visible in its ``n_assign`` nearest cells, which
+    recovers the neighbors that straddle a cell boundary. The defaults
+    are sized for the synthetic embeddings table, which is near-ISOTROPIC
+    64-d data — the worst case for any partition-pruned ANN — and reach
+    recall@5 >= 0.95 there while scanning ~90% (measured; on clustered
+    corpora the same plan prunes hard — see tests). Tune per corpus:
+    n_cells ~ sqrt(N), n_probe/n_assign down as cluster separation grows.
+
+    One pass over the base table, no shuffle of embeddings: centroids and
+    the query->cells probe map ride in the closure; cell assignment,
+    probe masking, and the scoring matmul all happen per Arrow batch; the
+    only shuffled rows are each partition's local top-k (exactly the
+    brute-force plan's tail). At 100 TB, pre-partition the base table by
+    ``ivf_assign`` so probes prune file groups instead of masking rows."""
+    qids, qm = _collect_queries(emb, query_mod)
+    kk = int(k)
+    C = ivf_fit_centroids(emb, n_cells)
+    n_probe = min(int(n_probe), C.shape[0])
+    n_assign = min(int(n_assign), C.shape[0])
+    # per query: its n_probe nearest centroids
+    qc = qm @ C.T  # (nq, n_cells)
+    probe = np.argpartition(-qc, n_probe - 1, axis=1)[:, :n_probe]
+    probe_mask = np.zeros((len(qids), C.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probe[qi]] = True
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+            vids = pdf["vec_id"].to_numpy()
+            sim = base @ C.T
+            if n_assign == 1:
+                cells = np.argmax(sim, axis=1)[:, None]
+            else:
+                cells = np.argpartition(-sim, n_assign - 1, axis=1)[:, :n_assign]
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = probe_mask[qi][cells].any(axis=1) & (vids != qid)
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                row = base[cand_idx] @ qm[qi]
+                take = min(kk, cand_idx.size)
+                part = np.argpartition(-row, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vids[cand_idx[part]],
+                            "cosine": row[part],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+
+    local = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="query_id long, vec_id long, cosine double"
+    )
+    return _topk_window(local, kk)
 
 
 def _hyperplanes(dim: int) -> np.ndarray:

@@ -6,6 +6,7 @@ import pytest
 
 from frechetrange_spark.operators.similarity import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     hyperplane_signatures,
     neardup_exact,
     neardup_lsh,
@@ -78,3 +79,82 @@ def test_signatures_deterministic(spark, emb):
     b = hyperplane_signatures(emb).orderBy("vec_id").toPandas()
     assert (a["sig"].values == b["sig"].values).all()
     assert a["sig"].nunique() > 1
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer
+# ---------------------------------------------------------------------------
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_ivf_recall_on_isotropic_table(spark, emb):
+    """recall@5 >= 0.95 vs brute force at the operator defaults on the
+    real embeddings table (near-isotropic 64-d — IVF's worst case; the
+    defaults spill-assign to compensate)."""
+    truth = _topk_sets(ann_topk_bruteforce(emb, k=5))
+    got = _topk_sets(ann_topk_ivf(emb, k=5))
+    hit = sum(len(got.get(q, set()) & s) for q, s in truth.items())
+    total = sum(len(s) for s in truth.values())
+    assert hit / total >= 0.95, f"recall {hit}/{total}"
+
+
+def _clustered_emb(spark, n_clusters=16, per_cluster=50, dim=64):
+    """Well-separated deterministic clusters: center c = one-hot-ish
+    direction, members = center + small noise."""
+    rng = np.random.default_rng(99)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + 0.15 * rng.standard_normal(dim)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+
+
+def test_ivf_prunes_hard_on_clustered_corpus(spark):
+    """On genuinely clustered data, tight IVF params (assign=1, probe=3
+    of 16 cells) still reach recall >= 0.95 — the scan fraction is then
+    ~probe/cells, the pruning the index exists for."""
+    from frechetrange_spark.operators.similarity import (
+        _normalize_rows,
+        kmeans_centroids,
+    )
+
+    emb_c = _clustered_emb(spark)
+    truth = _topk_sets(ann_topk_bruteforce(emb_c, k=5, query_mod=50))
+    got = _topk_sets(
+        ann_topk_ivf(emb_c, k=5, query_mod=50, n_cells=16, n_probe=3, n_assign=1)
+    )
+    hit = sum(len(got.get(q, set()) & s) for q, s in truth.items())
+    total = sum(len(s) for s in truth.values())
+    assert hit / total >= 0.95, f"recall {hit}/{total}"
+    # measure the scan fraction offline with the same quantizer
+    pdf = emb_c.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    X = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+    vids = pdf["vec_id"].to_numpy()
+    C = kmeans_centroids(X[:4096], 16)
+    cells = np.argmax(X @ C.T, axis=1)
+    qm = X[vids % 50 == 0]
+    frac = 0.0
+    for qv in qm:
+        probed = np.argsort(-(C @ qv))[:3]
+        frac += np.isin(cells, probed).mean()
+    frac /= len(qm)
+    assert frac <= 0.35, f"scan fraction {frac:.2f}"
+
+
+def test_ivf_deterministic(spark, emb):
+    a = ann_topk_ivf(emb).orderBy("query_id", "rank").toPandas()
+    b = ann_topk_ivf(emb).orderBy("query_id", "rank").toPandas()
+    assert (a["vec_id"].values == b["vec_id"].values).all()
