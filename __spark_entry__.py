@@ -159,6 +159,22 @@ def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_query_grid(index_df, queries, EPS, meta)
 
 
+def _q_cfdq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CFDQ engine end-to-end: portal-enriched index + K6 sparse
+    decider refine. Result set equals range_query's (parity-tested)."""
+    from frechetrange_spark.operators.range_query import range_query_cfdq
+    from frechetrange_spark.operators.simplifications import enrich_with_portals
+
+    curves = enrich_with_portals(
+        enrich_with_simplifications(
+            _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+        )
+    ).localCheckpoint()
+    queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
+    index_df, meta = build_grid_index(curves, MESH, corner="min_min")
+    return range_query_cfdq(index_df, queries, EPS, meta)
+
+
 def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIS-Cup-style batch workload: EVERY trajectory is a query (range
     self-join at eps) — the compute-dominated flagship used for scaling
@@ -190,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_query": _q_range_query,  # exact decider: rows-only check
         "range_self_join": _q_range_self_join,  # exact decider: rows-only check
         "bb_range_query": _q_bb_range_query,  # exact decider: rows-only check
+        "cfdq_range_query": _q_cfdq_range_query,  # K6+portals: rows-only check
         "decide_udf": _q_decide_udf,  # float kernel UDFs: rows-only check
         # web-text pipeline
         "token_stats": lambda s, d: textql.token_stats(_docs(s, d)),

@@ -367,6 +367,93 @@ def range_query_grid(
     return accepted.unionAll(refined)
 
 
+def _cfdq_refine_map(eps: float):
+    """Refine kernel using the CFDQ sparse decider (K6) with the dataset
+    curve's stored portals (K9/O4, columns portal_src/dst/dist). CFDQ's
+    sparse interval walk is control-flow-heavy, so the kernel is scalar
+    per pair — cost tracks the candidate count; the batched K5 funnel
+    remains the default engine (see range_query_cfdq)."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import _list_buffers
+        from frechetrange_spark.kernels.cfdq import decide_frechet_cfdq
+
+        for rb in batches:
+            fqx, oqx = _list_buffers(rb.column("q_xs"))
+            fqy, oqy = _list_buffers(rb.column("q_ys"))
+            ftx, otx = _list_buffers(rb.column("xs"))
+            fty, oty = _list_buffers(rb.column("ys"))
+            fps, ops = _list_buffers(rb.column("portal_src"))
+            fpd, opd = _list_buffers(rb.column("portal_dst"))
+            fpw, opw = _list_buffers(rb.column("portal_dist"))
+            B = rb.num_rows
+            res = np.zeros(B, dtype=bool)
+            for r in range(B):
+                q = np.column_stack(
+                    [fqx[oqx[r] : oqx[r + 1]], fqy[oqy[r] : oqy[r + 1]]]
+                )
+                t = np.column_stack(
+                    [ftx[otx[r] : otx[r + 1]], fty[oty[r] : oty[r + 1]]]
+                )
+                srcs = fps[ops[r] : ops[r + 1]]
+                dsts = fpd[opd[r] : opd[r + 1]]
+                dists = fpw[opw[r] : opw[r + 1]]
+                portals: dict[int, list[tuple[int, int, float]]] = {}
+                for s, d, w in zip(srcs, dsts, dists):
+                    portals.setdefault(int(s), []).append((int(s), int(d), float(w)))
+                # portals attach to the dataset curve -> it is CFDQ's p side
+                res[r] = decide_frechet_cfdq(
+                    t, q, eps, base_query_delta=eps, portals=portals
+                )
+            idx = np.nonzero(res)[0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("query_id").take(pa.array(idx)),
+                    rb.column("traj_id").take(pa.array(idx)),
+                ],
+                ["query_id", "traj_id"],
+            )
+
+    return fn
+
+
+def range_query_cfdq(
+    index_df: DataFrame, queries: DataFrame, eps: float, meta: dict
+) -> DataFrame:
+    """Exact range query refining with the CFDQ sparse decider over stored
+    index portals — the bddm 'tue' engine lifecycle end-to-end (SURVEY
+    §3.3): J1 candidates -> F1/F2/F3 native filters -> K6+portals refine.
+    ``index_df`` must carry the portal columns (enrich_with_portals).
+    Result sets equal the K5 funnel's (parity-tested); offered as an
+    alternative engine — the batched K5 funnel stays the default."""
+    for c in ("portal_src", "portal_dst", "portal_dist"):
+        if c not in index_df.columns:
+            raise ValueError(f"index is missing portal column {c}; "
+                             "run enrich_with_portals at build time")
+    cand = grid_candidates(index_df, queries, eps, meta)
+    accepted = cand.filter("accept_f3").select(
+        F.col("q_traj_id").alias("query_id"), "traj_id"
+    )
+    to_refine = cand.filter(~F.col("accept_f3")).select(
+        F.col("q_traj_id").alias("query_id"),
+        "traj_id",
+        F.col("q_xs"),
+        F.col("q_ys"),
+        "xs",
+        "ys",
+        "portal_src",
+        "portal_dst",
+        "portal_dist",
+    )
+    n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
+    refined = to_refine.repartition(n_slots).mapInArrow(
+        _cfdq_refine_map(eps), schema="query_id long, traj_id long"
+    )
+    return accepted.unionAll(refined)
+
+
 def range_query_bruteforce(
     curves: DataFrame, queries: DataFrame, eps: float
 ) -> DataFrame:

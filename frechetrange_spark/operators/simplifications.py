@@ -96,6 +96,83 @@ def enrich_queries_with_ratios(
     return queries.mapInArrow(fn, schema=out_schema)
 
 
+PORTAL_COLS = ["portal_src", "portal_dst", "portal_dist"]
+
+
+def enrich_with_portals(enriched: DataFrame, levels: int | None = None) -> DataFrame:
+    """Append the CFDQ portal columns (K9/O4, SURVEY §3.3) to a curves
+    DataFrame already enriched with simplifications: per curve, re-run the
+    Agarwal pass at each stored level eps recording every probed
+    (source, destination, etd) triple, then compile the per-source jump
+    map (adjacent/duplicate destinations dropped, destination-sorted).
+
+    Stored as three parallel flat arrays — portal_src/portal_dst
+    (array<long>) and portal_dist (array<double>) — the columnar
+    equivalent of SURVEY §3.3's array<struct<src,dst,dist>>: parallel
+    primitive lists ride through Arrow batches zero-copy, where a
+    list-of-struct would force row materialization in the kernel."""
+    if levels is None:
+        levels = 0
+        while f"s{levels}_eps" in enriched.columns:
+            levels += 1
+    if levels == 0:
+        raise ValueError("enrich_with_portals requires s{i}_eps columns")
+    in_fields = list(enriched.schema.fields)
+    from pyspark.sql.types import LongType
+
+    out_schema = StructType(
+        in_fields
+        + [
+            StructField("portal_src", ArrayType(LongType(), False), False),
+            StructField("portal_dst", ArrayType(LongType(), False), False),
+            StructField("portal_dist", ArrayType(DoubleType(), False), False),
+        ]
+    )
+
+    def fn(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import _list_buffers
+        from frechetrange_spark.kernels.cfdq import (
+            agarwal_with_portals,
+            compile_portals,
+        )
+
+        for rb in batches:
+            fx, ox = _list_buffers(rb.column("xs"))
+            fy, oy = _list_buffers(rb.column("ys"))
+            eps_cols = [
+                rb.column(f"s{i}_eps").to_numpy(zero_copy_only=False)
+                for i in range(levels)
+            ]
+            B = rb.num_rows
+            srcs, dsts, dists = [], [], []
+            for r in range(B):
+                curve = np.column_stack(
+                    [fx[ox[r] : ox[r + 1]], fy[oy[r] : oy[r + 1]]]
+                )
+                plists = [
+                    agarwal_with_portals(curve, float(eps_cols[i][r]))[1]
+                    for i in range(levels)
+                ]
+                pmap = compile_portals(plists)
+                flat = [
+                    p for src in sorted(pmap) for p in pmap[src]
+                ]
+                srcs.append(np.array([p[0] for p in flat], dtype=np.int64))
+                dsts.append(np.array([p[1] for p in flat], dtype=np.int64))
+                dists.append(np.array([p[2] for p in flat], dtype=np.float64))
+            arrays = list(rb.columns) + [
+                pa.array(srcs, type=pa.list_(pa.int64())),
+                pa.array(dsts, type=pa.list_(pa.int64())),
+                pa.array(dists, type=pa.list_(pa.float64())),
+            ]
+            names = list(rb.schema.names) + PORTAL_COLS
+            yield pa.RecordBatch.from_arrays(arrays, names)
+
+    return enriched.mapInArrow(fn, schema=out_schema)
+
+
 def simp_cols(levels: int = NUM_LEVELS) -> list[str]:
     out = []
     for i in range(levels):
