@@ -247,11 +247,13 @@ def decode_summary(docs: DataFrame) -> DataFrame:
     are order-independent, so the DuckDB oracle (which regenerates the
     pixel/sample formulas with generate_series) matches bit-for-bit."""
     dec = decode_media(synth_media_binary(docs))
+    # audio rows have no width/height: 0, not NULL — NULLs would surface
+    # as NaN floats in the driver's pandas compare / value hash
     return dec.select(
         "doc_id",
         "media_type",
-        "width",
-        "height",
+        F.coalesce("width", F.lit(0)).cast("long").alias("width"),
+        F.coalesce("height", F.lit(0)).cast("long").alias("height"),
         F.size("values").cast("long").alias("n_values"),
         F.aggregate(
             "values", F.lit(0).cast("long"), lambda acc, v: acc + v

@@ -514,7 +514,7 @@ WITH img AS (
   GROUP BY doc_id
 ), aud AS (
   SELECT doc_id, 'audio' AS media_type,
-         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(0 AS BIGINT) AS width, CAST(0 AS BIGINT) AS height,
          CAST({WAV_SAMPLES} AS BIGINT) AS n_values,
          CAST(SUM(((doc_id*31 + i*17) % 65536) - 32768) AS BIGINT) AS value_sum
   FROM documents,
