@@ -47,6 +47,16 @@ MESH = 15.0
 QUERY_MOD = 50  # query workload = trajectories with traj_id % 50 == 0
 
 
+def _persist(df: DataFrame) -> DataFrame:
+    """Tungsten-cache a reused subtree. Cache lifecycle is owned by the
+    harness: the driver runs one query per session step and bench.py
+    clears the cache between queries. (An eager localCheckpoint would be
+    leak-free but measured ~2-3x slower here: it serializes the big
+    array columns through the RDD checkpoint path up front, while the
+    lazy columnar cache populates during the first — timed — action.)"""
+    return df.persist()
+
+
 def _curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_curves(trajectory_points(spark, sf_dir))
 
@@ -110,7 +120,7 @@ def _q_endpoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_signature_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir).localCheckpoint()
+    curves = _persist(_curves(spark, sf_dir))
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     return signature_candidates(curves, queries, EPS, MESH).select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
@@ -118,7 +128,7 @@ def _q_signature_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bb_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir).localCheckpoint()
+    curves = _persist(_curves(spark, sf_dir))
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     return bb_range_query(curves, queries, EPS, MESH)
 
@@ -126,7 +136,7 @@ def _q_bb_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_decide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UDF-surface demo: the registered SQL UDFs over sampled curve pairs."""
     register_all(spark)
-    curves = _curves(spark, sf_dir).localCheckpoint()
+    curves = _persist(_curves(spark, sf_dir))
     a = curves.filter(F.col("traj_id") % QUERY_MOD == 0).select(
         F.col("traj_id").alias("id_a"),
         F.col("xs").alias("xs_a"),
@@ -151,9 +161,11 @@ def _q_decide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = enrich_with_simplifications(
-        _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
-    ).localCheckpoint()
+    curves = _persist(
+        enrich_with_simplifications(
+            _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+        )
+    )
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, queries, EPS, meta)
@@ -165,11 +177,13 @@ def _q_cfdq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from frechetrange_spark.operators.range_query import range_query_cfdq
     from frechetrange_spark.operators.simplifications import enrich_with_portals
 
-    curves = enrich_with_portals(
-        enrich_with_simplifications(
-            _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+    curves = _persist(
+        enrich_with_portals(
+            enrich_with_simplifications(
+                _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+            )
         )
-    ).localCheckpoint()
+    )
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_cfdq(index_df, queries, EPS, meta)
@@ -179,9 +193,11 @@ def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIS-Cup-style batch workload: EVERY trajectory is a query (range
     self-join at eps) — the compute-dominated flagship used for scaling
     evidence. Returns (query_id, traj_id) match pairs."""
-    curves = enrich_with_simplifications(
-        _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
-    ).localCheckpoint()
+    curves = _persist(
+        enrich_with_simplifications(
+            _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+        )
+    )
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, curves, EPS, meta, symmetric=True)
 
