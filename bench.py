@@ -313,8 +313,19 @@ def run_scaling() -> None:
         "```",
         "",
     ]
-    with open(os.path.join(here, "BENCH.md"), "w") as f:
+    # preserve manually-appended sections (e.g. the skew bench) below the
+    # KEEP marker across rewrites
+    path = os.path.join(here, "BENCH.md")
+    keep = ""
+    marker = "<!-- KEEP-BELOW -->"
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            keep = old[old.index(marker):]
+    with open(path, "w") as f:
         f.write("\n".join(lines))
+        if keep:
+            f.write("\n" + keep)
     print(
         json.dumps(
             {
