@@ -98,6 +98,52 @@ def _free_segment_vs_points(
     return _solve_quadratic_interval_2d(a, b, c)
 
 
+def _br_chain_batch(
+    a: np.ndarray, b: np.ndarray, reset: np.ndarray, blo: np.ndarray
+) -> np.ndarray:
+    """Vectorized bottom-reachability chain of one free-space column.
+
+    Sequential semantics (the scalar loop in core.decide_frechet):
+
+        s[0] = blo
+        s[t] = a[t]                             if reset[t]
+             = max(a[t], s[t-1]) if <= b[t]     else INF   (INF propagates)
+
+    where a/b are the horizontal free-interval bounds (each a[t] is in
+    [0,1] or INF) and reset[t] marks cells enterable from the left
+    boundary. Evaluated as a SEGMENTED running max with cap violations:
+    resets open segments; within a segment s[t] is the running max of a
+    unless any position since the reset overflowed its cap (then INF).
+    Prefix-doubling gives O(log M) numpy passes instead of an M-step
+    Python loop — the former O(N*M) interpreter cost of the whole sweep
+    drops to O(N*log M)."""
+    B, M = a.shape
+    tidx = np.arange(M)
+    rv = reset.copy()
+    rv[:, 0] = True  # t=0 is the injected bottom entry
+    av = a.copy()
+    av[:, 0] = blo
+    bv = np.where(rv, _INF, b)  # reset values are not capped
+    # last reset position <= t
+    seg = np.maximum.accumulate(np.where(rv, tidx[None, :], 0), axis=1)
+    # segmented running max of av via Hillis-Steele doubling
+    rm = av
+    shift = 1
+    while shift < M:
+        shifted = np.empty_like(rm)
+        shifted[:, :shift] = -_INF
+        shifted[:, shift:] = rm[:, :-shift]
+        valid = seg <= (tidx - shift)[None, :]
+        rm = np.maximum(rm, np.where(valid, shifted, -_INF))
+        shift *= 2
+    # violation anywhere in the current segment poisons the chain
+    viol = rm > bv
+    last_viol = np.maximum.accumulate(
+        np.where(viol, tidx[None, :], -1), axis=1
+    )
+    return np.where(last_viol >= seg, _INF, rm)
+
+
 def decide_frechet_batch(
     p: np.ndarray, q: np.ndarray, eps: np.ndarray
 ) -> np.ndarray:
@@ -160,15 +206,9 @@ def decide_frechet_batch(
         bottom_prefix_ok &= (fh_lo[:, 0] <= 0.0) & (fh_hi[:, 0] >= 1.0)
 
         left_ok = lr_lo <= lr_hi  # (B, M-1)
-        br_lo[:, 0] = blo
-        for j in range(M - 1):
-            via_bottom = np.maximum(fh_lo[:, j + 1], br_lo[:, j])
-            via_bottom = np.where(via_bottom <= fh_hi[:, j + 1], via_bottom, _INF)
-            br_lo[:, j + 1] = np.where(
-                left_ok[:, j],
-                fh_lo[:, j + 1],
-                np.where(br_lo[:, j] <= 1.0, via_bottom, _INF),
-            )
+        reset = np.zeros((B, M), dtype=bool)
+        reset[:, 1:] = left_ok
+        br_lo = _br_chain_batch(fh_lo, fh_hi, reset, blo)
 
         fh_hi_top = fh_hi[:, M - 1]
 
@@ -475,7 +515,15 @@ def etd_pairs_arrow(qxs, qys, xs, ys, chunk: int = 4096) -> np.ndarray:
     return out
 
 
-def distance_pairs_arrow(qxs, qys, xs, ys, chunk: int = 2048) -> np.ndarray:
+def distance_pairs_arrow(
+    qxs,
+    qys,
+    xs,
+    ys,
+    chunk: int = 2048,
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-12,
+) -> np.ndarray:
     """Batched bisection distance straight from pyarrow list columns —
     size-bucketed padded gathers feeding the lockstep bisection, same
     zero-copy path as decide_pairs_arrow."""
@@ -491,7 +539,7 @@ def distance_pairs_arrow(qxs, qys, xs, ys, chunk: int = 2048) -> np.ndarray:
     for s in range(0, B, chunk):
         rows = order[s : s + chunk]
         p, t = _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows)
-        out[rows] = _frechet_distance_padded(p, t)
+        out[rows] = _frechet_distance_padded(p, t, rel_tol, abs_tol)
     return out
 
 
@@ -564,15 +612,21 @@ def _frechet_distance_padded(
     at_lo = decide_frechet_batch(p, q, lo)
     out = np.where(np.isnan(out) & at_lo, lo, out)
 
-    active = np.isnan(out)
-    while active.any():
-        conv = active & (hi - lo <= abs_tol + rel_tol * hi)
-        out = np.where(conv, hi, out)
-        active &= ~conv
-        if not active.any():
-            break
-        mid = np.where(active, 0.5 * (lo + hi), lo)
+    # bisect only the still-active pairs each round (compaction): pairs
+    # converge after different iteration counts, and a converged pair in
+    # a lockstep batch would otherwise keep paying full sweeps
+    idx = np.nonzero(np.isnan(out))[0]
+    p, q, lo, hi = p[idx], q[idx], lo[idx], hi[idx]
+    while idx.size:
+        conv = hi - lo <= abs_tol + rel_tol * hi
+        if conv.any():
+            out[idx[conv]] = hi[conv]
+            keep = ~conv
+            idx, p, q, lo, hi = idx[keep], p[keep], q[keep], lo[keep], hi[keep]
+            if idx.size == 0:
+                break
+        mid = 0.5 * (lo + hi)
         yes = decide_frechet_batch(p, q, mid)
-        hi = np.where(active & yes, mid, hi)
-        lo = np.where(active & ~yes, mid, lo)
+        hi = np.where(yes, mid, hi)
+        lo = np.where(yes, lo, mid)
     return out

@@ -41,8 +41,15 @@ def _distance_kernel(batches):
     from frechetrange_spark.kernels.batch import distance_pairs_arrow
 
     for rb in batches:
+        # 1e-6 relative tolerance = the reference's own kNN-style
+        # bisection (benchmark/test.py:96, eps=1E-6); ranks are stable
+        # well above it and it saves ~10 of ~37 decide sweeps per pair
         dists = distance_pairs_arrow(
-            rb.column("q_xs"), rb.column("q_ys"), rb.column("xs"), rb.column("ys")
+            rb.column("q_xs"),
+            rb.column("q_ys"),
+            rb.column("xs"),
+            rb.column("ys"),
+            rel_tol=1e-6,
         )
         yield pa.RecordBatch.from_arrays(
             [rb.column("query_id"), rb.column("traj_id"), pa.array(dists)],
@@ -170,7 +177,10 @@ def etd_prune(curves: DataFrame, queries: DataFrame, candidates: DataFrame, k: i
     (F8, detail/bddm/spatial_hash.hpp:253-362 — a linear-time upper bound
     ~3000x cheaper than the bisection decider). Per query the k-th smallest
     ETD is a valid radius: >= k curves have δF <= it, so pairs whose
-    endpoint lower bound exceeds it cannot be in the top k."""
+    endpoint lower bound exceeds it cannot be in the top k.
+
+    Returns (query_id, traj_id, radius) — the radius rides along so the
+    decide-at-radius prune (step 2c) can run without recomputing ETDs."""
     pairs = _pairs_with_arrays(curves, queries, candidates)
     n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
     bounds = pairs.repartition(n_slots).mapInArrow(
@@ -185,7 +195,47 @@ def etd_prune(curves: DataFrame, queries: DataFrame, candidates: DataFrame, k: i
     return (
         bounds.join(F.broadcast(radius), "query_id")
         .filter((F.col("n_pairs") <= k) | (F.col("lb") <= F.col("radius")))
-        .select("query_id", "traj_id")
+        .select("query_id", "traj_id", "radius")
+    )
+
+
+def _decide_radius_kernel(batches):
+    """Batched single decision per pair at its per-row radius column."""
+    import pyarrow as pa
+
+    from frechetrange_spark.kernels.batch import decide_pairs_arrow
+
+    for rb in batches:
+        radius = rb.column("radius").to_numpy(zero_copy_only=False)
+        keep = decide_pairs_arrow(
+            rb.column("q_xs"),
+            rb.column("q_ys"),
+            rb.column("xs"),
+            rb.column("ys"),
+            radius,
+        )
+        idx = pa.array(np.nonzero(keep)[0])
+        yield pa.RecordBatch.from_arrays(
+            [rb.column("query_id").take(idx), rb.column("traj_id").take(idx)],
+            ["query_id", "traj_id"],
+        )
+
+
+def decide_radius_prune(
+    curves: DataFrame, queries: DataFrame, survivors: DataFrame
+) -> DataFrame:
+    """Step 2c: one batched DECISION per surviving pair at its query's
+    radius (the k-th smallest ETD). At least k pairs per query have true
+    distance <= radius, so a NO here proves the pair is outside the top k
+    — one free-space sweep replaces the ~40-sweep bisection for every
+    eliminated pair; only the accepted few get exact distances."""
+    pairs = _pairs_with_arrays(
+        curves, queries, survivors.select("query_id", "traj_id")
+    ).join(F.broadcast(survivors.select("query_id", "traj_id", "radius")),
+           ["query_id", "traj_id"])
+    n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
+    return pairs.repartition(n_slots).mapInArrow(
+        _decide_radius_kernel, schema="query_id long, traj_id long"
     )
 
 
@@ -225,8 +275,9 @@ def knn_frechet(
     curves = curves.localCheckpoint()
     queries = queries.localCheckpoint()
     candidates = knn_candidates(curves, queries, k)
-    survivors = etd_prune(curves, queries, candidates, k)
-    pairs = _pairs_with_arrays(curves, queries, survivors)
+    survivors = etd_prune(curves, queries, candidates, k).localCheckpoint()
+    finalists = decide_radius_prune(curves, queries, survivors)
+    pairs = _pairs_with_arrays(curves, queries, finalists)
     dists = frechet_distances(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("traj_id").asc()
