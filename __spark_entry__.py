@@ -192,12 +192,13 @@ def _q_cfdq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIS-Cup-style batch workload: EVERY trajectory is a query (range
     self-join at eps) — the compute-dominated flagship used for scaling
-    evidence. Returns (query_id, traj_id) match pairs."""
-    curves = _persist(
-        enrich_with_simplifications(
-            _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
-        )
-    )
+    evidence. Returns (query_id, traj_id) match pairs.
+
+    No simplification funnel: the dv engine has none, and on this
+    corpus's short curves full-resolution refine (ETD + F4 + vectorized
+    decider) measures faster than the funnel (see bench.py); the funnel
+    path stays exercised by range_query / cfdq_range_query."""
+    curves = _persist(_curves(spark, sf_dir))
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return range_query_grid(index_df, curves, EPS, meta, symmetric=True)
 

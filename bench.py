@@ -135,9 +135,6 @@ def run_flagship(n: int, eps: float = EPS) -> dict:
         build_grid_index,
         range_query_grid,
     )
-    from frechetrange_spark.operators.simplifications import (
-        enrich_with_simplifications,
-    )
     from frechetrange_spark.sources.trajectories import (
         assemble_curves,
         trajectory_points,
@@ -145,11 +142,14 @@ def run_flagship(n: int, eps: float = EPS) -> dict:
 
     spark = _spark(n)
     t0 = time.perf_counter()
-    curves = enrich_with_simplifications(
-        assemble_curves(trajectory_points(spark, SF_DIR)),
-        levels=2,
-        fractions=(0.07, 0.6),
-    ).persist()
+    # No simplification funnel here: the dv engine (which this flagship
+    # mirrors) has none, and on this corpus's short (~55-pt) curves the
+    # funnel's extra ETD+decide passes cost MORE than full-resolution
+    # refine saves (measured at sf0.1: levels=0 query 15.0s vs levels=2
+    # 26.2s, identical result sets). The funnel stays available for
+    # long-trajectory corpora (enrich_with_simplifications) and is
+    # exercised by range_query / cfdq_range_query / tests.
+    curves = assemble_curves(trajectory_points(spark, SF_DIR)).persist()
     n_curves = curves.count()
     build_sec = round(time.perf_counter() - t0, 3)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
