@@ -1,0 +1,99 @@
+"""Physical-plan hygiene assertions: the properties .explain() must show
+for the 100 TB posture — predicate pushdown into parquet scans, broadcast
+joins for small dimensions/query sides, sort-merge on salted keys, and
+UDF-free whole-stage-codegen pipelines for the text operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from frechetrange_spark.operators import relational, textql
+from frechetrange_spark.operators.range_query import (
+    build_grid_index,
+    grid_candidates,
+)
+from frechetrange_spark.sources.trajectories import curves as load_curves
+from tests.conftest import SF_SMALL
+
+
+def _explain(df, mode: str = "formatted") -> str:
+    qe = df._jdf.queryExecution()
+    jvm = df.sparkSession._jvm
+    return qe.explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_relational_filters_push_into_parquet_scan(spark):
+    """pricing_summary's shipdate predicate must reach the lineitem scan
+    (PushedFilters), and the scan must prune to the referenced columns."""
+    plan = _explain(relational.pricing_summary(spark, SF_SMALL))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the 16-column lineitem scan reads only what Q1 needs
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_relational_dims_broadcast(spark):
+    """Q3-shaped shipping_priority joins customer/orders dims via
+    BroadcastHashJoin — no shuffle of the small sides."""
+    plan = _explain(relational.shipping_priority(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_grid_join_broadcasts_small_query_side(spark):
+    """A small query workload against the grid index must plan as a
+    broadcast join (no shuffle of the indexed dataset)."""
+    curves = load_curves(spark, SF_SMALL)
+    queries = curves.filter(F.col("traj_id") % 50 == 0)
+    index_df, meta = build_grid_index(curves, 15.0, corner="min_min")
+    plan = _explain(grid_candidates(index_df, queries, 15.0, meta))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_grid_join_is_sort_merge(spark):
+    """With salt, the join is hinted to sort-merge on the salted key —
+    the skew-spreading plan (see BENCH.md hot-cell section)."""
+    curves = load_curves(spark, SF_SMALL)
+    index_df, meta = build_grid_index(curves, 15.0, corner="min_min")
+    plan = _explain(grid_candidates(index_df, curves, 15.0, meta, salt=4))
+    assert "SortMergeJoin" in plan
+    assert "_salt" in plan
+
+
+def test_text_operators_are_udf_free_codegen(spark):
+    """token_stats / language_id / quality / fingerprints compile to pure
+    Catalyst (no Python eval nodes) with whole-stage codegen spans."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    for op in (
+        textql.token_stats,
+        textql.language_id,
+        textql.quality_score,
+        textql.doc_fingerprints,
+    ):
+        plan = _explain(op(docs))
+        assert "BatchEvalPython" not in plan, op.__name__
+        assert "ArrowEvalPython" not in plan, op.__name__
+        # formatted mode annotates codegen stages with "[codegen id : N]"
+        assert "codegen id" in plan, op.__name__
+
+
+def test_refine_input_is_explicitly_repartitioned(spark):
+    """The refine kernel input carries a round-robin exchange (AQE's
+    byte-based coalescing must not serialize CPU-heavy pair rows)."""
+    from frechetrange_spark.operators.range_query import range_query_grid
+
+    curves = load_curves(spark, SF_SMALL)
+    index_df, meta = build_grid_index(curves, 15.0, corner="min_min")
+    plan = _explain(range_query_grid(index_df, curves, 15.0, meta))
+    assert "RoundRobinPartitioning" in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "mapInArrow" in plan
+
+
+def test_trajectory_reconstruction_udf_free(spark):
+    """The carrier-table -> point-table reconstruction is pure Catalyst."""
+    from frechetrange_spark.sources.trajectories import trajectory_points
+
+    plan = _explain(trajectory_points(spark, SF_SMALL))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
