@@ -214,3 +214,73 @@ def test_session_window_agrees_with_gap_sessionize(spark):
         )
     )
     assert native == explicit
+
+
+def test_stateful_sessionizer_converges_to_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization across TWO time-ordered
+    micro-batches: the latest update per (user_id, session_id) equals the
+    batch sessionize result — sessions spanning the file boundary are
+    carried through GroupState."""
+    import numpy as np
+
+    from frechetrange_spark.operators.events import sessionize
+    from frechetrange_spark.streaming.sessions import start_session_stream
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    cut = ev.selectExpr(
+        "percentile(cast(cast(ts as timestamp) as double), 0.5) p"
+    ).collect()[0]["p"]
+    in_dir = str(tmp_path / "ev")
+    os.makedirs(in_dir, exist_ok=True)
+    # two event-time-ordered files -> two micro-batches (sessions cross
+    # the boundary for users active around the cut)
+    ev.filter(F.col("ts").cast("timestamp").cast("double") <= cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir + "/f0")
+    ev.filter(F.col("ts").cast("timestamp").cast("double") > cut).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir + "/f1")
+    import glob
+    import shutil
+
+    flat = in_dir + "/flat"
+    os.makedirs(flat, exist_ok=True)
+    for i, f in enumerate(
+        sorted(glob.glob(in_dir + "/f*/part-*.parquet"))
+    ):
+        shutil.copy(f, flat + f"/file{i}.parquet")
+
+    q = start_session_stream(
+        spark, flat, str(tmp_path / "ckpt"), "sess_updates",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    updates = spark.sql("select * from sess_updates").toPandas()
+    # sanity: the two-micro-batch run re-emitted some session at least twice
+    assert updates.duplicated(["user_id", "session_id"]).any()
+    # latest update per session = the one with the largest n_events
+    latest = (
+        updates.sort_values("n_events")
+        .groupby(["user_id", "session_id"], as_index=False)
+        .last()
+    )
+
+    batch = sessionize(ev).toPandas()
+    batch["start_sec"] = (
+        batch["start_ts"].astype("datetime64[ns]").astype("int64") / 1e9
+    )
+    batch["end_sec"] = (
+        batch["end_ts"].astype("datetime64[ns]").astype("int64") / 1e9
+    )
+    cols = ["user_id", "session_id", "n_events", "start_sec", "end_sec", "value_cents"]
+    a = latest[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    b = batch[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, atol=1e-6), c
+        else:
+            assert (av == bv).all(), c
