@@ -58,9 +58,16 @@ def _segment_etd(curve: np.ndarray, tp: np.ndarray, lo: int, hi: int) -> float:
     return float(np.sqrt(np.max(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])))
 
 
-def agarwal_indices(curve: np.ndarray, eps: float) -> np.ndarray:
+def agarwal_indices(
+    curve: np.ndarray, eps: float, etd_cache: dict | None = None
+) -> np.ndarray:
     """Vertex indices of the Agarwal simplification of ``curve`` at
-    ``eps`` (always includes first and last vertex)."""
+    ``eps`` (always includes first and last vertex).
+
+    ``etd_cache``: optional (prev, k) -> segment-ETD memo. The probed
+    distances are eps-INDEPENDENT, so the K10 eps bisection (10 simplify
+    calls per level over the same curve) re-probes many identical pairs —
+    one shared cache across the tries removes the recomputation."""
     n = curve.shape[0]
     if n <= 2:
         return np.arange(n, dtype=np.int64)
@@ -70,8 +77,19 @@ def agarwal_indices(curve: np.ndarray, eps: float) -> np.ndarray:
     while prev < n - 1:
         start, end = prev + 1, n
 
-        def ok(k: int) -> bool:
-            return _segment_etd(curve, tp, prev, k) <= eps
+        if etd_cache is None:
+
+            def ok(k: int) -> bool:
+                return _segment_etd(curve, tp, prev, k) <= eps
+
+        else:
+
+            def ok(k: int) -> bool:
+                d = etd_cache.get((prev, k))
+                if d is None:
+                    d = _segment_etd(curve, tp, prev, k)
+                    etd_cache[(prev, k)] = d
+                return d <= eps
 
         # double-&-search (reference :1146-1172, base 2, step 1)
         k = start
@@ -130,13 +148,14 @@ def simplification_levels(
     lower0 = diagonal / 100000.0
     upper = diagonal / 2.0
     out = []
+    etd_cache: dict = {}  # (prev, k) -> ETD, shared by all tries/levels
     for i in range(levels):
         tries = 0
         lo, hi = lower0, upper
         idx, used = None, None
         while True:
             avg = lo + (hi - lo) / 2.0
-            idx = agarwal_indices(curve, avg)
+            idx = agarwal_indices(curve, avg, etd_cache)
             used = avg
             tries += 1
             if tries == 10:
