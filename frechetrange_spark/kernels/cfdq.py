@@ -191,10 +191,16 @@ def decide_frechet_cfdq(
 
 
 def agarwal_with_portals(
-    curve: np.ndarray, eps: float
+    curve: np.ndarray,
+    eps: float,
+    etd_cache: dict | None = None,
 ) -> tuple[np.ndarray, list[tuple[int, int, float]]]:
     """K9 on a full-resolution curve: Agarwal simplification indices plus
-    every probed (source, destination, etd) as a portal candidate."""
+    every probed (source, destination, etd) as a portal candidate.
+
+    ``etd_cache``: optional (prev, k) -> ETD memo shared across the
+    per-level runs over the same curve — the distances are
+    eps-independent; every probe is still RECORDED as a portal."""
     c = np.asarray(curve, dtype=np.float64)
     n = c.shape[0]
     if n <= 2:
@@ -207,7 +213,13 @@ def agarwal_with_portals(
         start, end = prev + 1, n
 
         def probe(k: int) -> bool:
-            dist = _segment_etd(c, tp, prev, k)
+            if etd_cache is None:
+                dist = _segment_etd(c, tp, prev, k)
+            else:
+                dist = etd_cache.get((prev, k))
+                if dist is None:
+                    dist = _segment_etd(c, tp, prev, k)
+                    etd_cache[(prev, k)] = dist
             portals.append((prev, k, dist))
             return dist <= eps
 

@@ -151,8 +151,9 @@ def enrich_with_portals(enriched: DataFrame, levels: int | None = None) -> DataF
                 curve = np.column_stack(
                     [fx[ox[r] : ox[r + 1]], fy[oy[r] : oy[r + 1]]]
                 )
+                cache: dict = {}
                 plists = [
-                    agarwal_with_portals(curve, float(eps_cols[i][r]))[1]
+                    agarwal_with_portals(curve, float(eps_cols[i][r]), cache)[1]
                     for i in range(levels)
                 ]
                 pmap = compile_portals(plists)
