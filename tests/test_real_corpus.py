@@ -98,6 +98,27 @@ def test_three_engines_agree_on_real_corpus(corpus, queries, eps):
     assert {(q, q) for q in qids} <= truth
 
 
+def test_cfdq_engine_agrees_on_real_corpus(spark, corpus, queries):
+    """The fourth engine — portal-enriched index + K6 sparse decider —
+    returns the same golden result set on the real taxi corpus."""
+    from frechetrange_spark.operators.range_query import range_query_cfdq
+    from frechetrange_spark.operators.simplifications import (
+        enrich_with_portals,
+        enrich_with_simplifications,
+    )
+
+    eps = 0.02
+    mesh = 10.0 * eps
+    enriched = enrich_with_portals(
+        enrich_with_simplifications(corpus, levels=2, fractions=(0.07, 0.6))
+    ).localCheckpoint()
+    q = enriched.filter(F.col("traj_id") % QUERY_MOD == 0)
+    index_df, meta = build_grid_index(enriched, mesh)
+    got = _pairs(range_query_cfdq(index_df, q, eps, meta))
+    assert len(got) == GOLDEN[eps]
+    assert got == _pairs(range_query_bruteforce(corpus, queries, eps))
+
+
 def test_candidate_funnel_ordering(corpus, queries):
     """Funnel-stage candidate counts on the real corpus: matches are a
     subset of every engine's candidate set, and the bb signature set (F1 +
