@@ -54,9 +54,17 @@ def dihash_range_query(
 ) -> DataFrame:
     """Exact range query via the di-hash probe set (the bddm engine
     lifecycle, detail/bddm/spatial_hash.hpp:463-541): J3 endpoint
-    candidates -> batched exact decider. Result sets equal the dv-grid and
-    bb engines' (all exact) — the Spark analogue of the reference's
-    N-version cross-engine oracle (benchmark/test.py:26-74)."""
+    candidates -> batched exact decider — the Spark analogue of the
+    reference's N-version cross-engine oracle (benchmark/test.py:26-74).
+
+    Edge semantics, inherited verbatim from the reference's di-hash probe
+    (strict ``<`` at bddm:484-486, with its 1e-5 TOLERANCE inflation
+    deliberately dropped — documented deviation): a pair whose endpoint
+    distance is EXACTLY eps is not a candidate here even though the
+    decider's non-strict endpoint check would admit it, so on
+    measure-zero boundary inputs this engine can return fewer rows than
+    dv/bb. Real corpora never hit it (N-version-tested on the shipped
+    San Francisco data)."""
     from frechetrange_spark.operators.range_query import _refine_map
 
     cand = endpoint_candidates(curves, queries, eps, mesh)

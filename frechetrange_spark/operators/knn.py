@@ -229,10 +229,7 @@ def decide_radius_prune(
     distance <= radius, so a NO here proves the pair is outside the top k
     — one free-space sweep replaces the ~40-sweep bisection for every
     eliminated pair; only the accepted few get exact distances."""
-    pairs = _pairs_with_arrays(
-        curves, queries, survivors.select("query_id", "traj_id")
-    ).join(F.broadcast(survivors.select("query_id", "traj_id", "radius")),
-           ["query_id", "traj_id"])
+    pairs = _pairs_with_arrays(curves, queries, survivors)
     n_slots = 2 * pairs.sparkSession.sparkContext.defaultParallelism
     return pairs.repartition(n_slots).mapInArrow(
         _decide_radius_kernel, schema="query_id long, traj_id long"
@@ -242,6 +239,9 @@ def decide_radius_prune(
 def _pairs_with_arrays(
     curves: DataFrame, queries: DataFrame, pair_ids: DataFrame
 ) -> DataFrame:
+    """Attach both curves' arrays to the pair list; extra ``pair_ids``
+    columns (e.g. a per-pair radius) ride through."""
+    extra = [c for c in pair_ids.columns if c not in ("query_id", "traj_id")]
     q = queries.select(
         F.col("traj_id").alias("query_id"),
         F.col("xs").alias("q_xs"),
@@ -249,7 +249,7 @@ def _pairs_with_arrays(
     )
     t = curves.select("traj_id", "xs", "ys")
     return pair_ids.join(F.broadcast(q), "query_id").join(t, "traj_id").select(
-        "query_id", "traj_id", "q_xs", "q_ys", "xs", "ys"
+        "query_id", "traj_id", "q_xs", "q_ys", "xs", "ys", *extra
     )
 
 
@@ -262,8 +262,15 @@ def knn_frechet(
     max_rounds: int | None = None,
 ) -> DataFrame:
     """(query_id, traj_id, distance, rank): the k nearest trajectories per
-    query by continuous Fréchet distance (self excluded), exact. Ties break
-    by traj_id ascending.
+    query by continuous Fréchet distance (self excluded). Ties break by
+    traj_id ascending.
+
+    Distances come from bisection at the reference's own tolerance
+    (1e-6 relative, benchmark/test.py:96), so each value over-states the
+    true distance by at most that much and two candidates whose true
+    distances differ by less than ~2e-6 relative may swap ranks — the
+    same guarantee the reference's kNN-by-bisection gives. Pass an
+    exact-tolerance kernel via frechet_distances for stricter ranking.
 
     ``mesh``/``eps0``/``max_rounds`` are accepted for backward
     compatibility with the earlier eps-doubling implementation and ignored:

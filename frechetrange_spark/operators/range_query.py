@@ -249,11 +249,16 @@ def _refine_map(
                 qid, tid, acc = all_qid, all_tid, result
                 stg = stage
                 if mirror:
+                    # mirrored duplicates carry stage='mirror' so per-stage
+                    # candidate counts stay one-row-per-candidate while
+                    # filter("accepted") still equals the full result set
                     off = (qid != tid) & acc
                     qid = np.concatenate([qid, tid[off]])
                     tid = np.concatenate([tid, all_qid[off]])
                     acc = np.concatenate([acc, acc[off]])
-                    stg = np.concatenate([stg, stage[off]])
+                    stg = np.concatenate(
+                        [stg, np.full(int(off.sum()), "mirror", dtype=object)]
+                    )
                 yield pa.RecordBatch.from_arrays(
                     [
                         pa.array(qid),

@@ -94,10 +94,12 @@ def _session_func(
 
 
 def sessionize_stateful(events: DataFrame) -> DataFrame:
-    """Apply the stateful sessionizer to a (streaming or batch) events
-    DataFrame. On a stream, each micro-batch updates the open session in
-    ``GroupState`` and emits current aggregates; the latest row per
-    (user_id, session_id) converges to the batch ``sessionize`` result."""
+    """Apply the stateful sessionizer to a STREAMING events DataFrame
+    (applyInPandasWithState is streaming-only — for batch inputs use
+    operators.events.sessionize, the window-based twin). Each micro-batch
+    updates the open session in ``GroupState`` and emits current
+    aggregates; the latest row per (user_id, session_id) converges to the
+    batch ``sessionize`` result (tested)."""
     return events.groupBy("user_id").applyInPandasWithState(
         _session_func,
         outputStructType=OUTPUT_SCHEMA,

@@ -133,6 +133,7 @@ def test_funnel_stats_match_plain_result(spark, corpus):
         "neg_reject",
         "decider_yes",
         "decider_no",
+        "mirror",
     }
     assert set(counts) <= valid | {
         f"simp{i}_{v}" for i in range(4) for v in ("yes", "no")
@@ -148,10 +149,20 @@ def test_funnel_stats_match_plain_result(spark, corpus):
 
 def test_funnel_stats_symmetric_mirror(spark, corpus):
     """Stats + symmetric self-join: accepted rows still equal the plain
-    symmetric result set."""
+    symmetric result set, and mirrored duplicates carry stage='mirror' so
+    per-stage counts remain one row per refined candidate."""
     index_df, meta = build_grid_index(corpus, MESH, corner="min_min")
     plain = _pairs(range_query_grid(index_df, corpus, EPS, meta, symmetric=True))
     stats = range_query_grid(
         index_df, corpus, EPS, meta, symmetric=True, funnel_stats=True
-    )
+    ).localCheckpoint()
     assert _pairs(stats.filter("accepted")) == plain
+    counts = {
+        r["stage"]: r["n"]
+        for r in stats.groupBy("stage").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("mirror", 0) > 0
+    # every mirror row is an accepted off-diagonal duplicate
+    m = stats.filter("stage = 'mirror'")
+    assert m.filter(~F.col("accepted")).count() == 0
+    assert m.filter(F.col("query_id") == F.col("traj_id")).count() == 0
