@@ -231,7 +231,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": lambda s, d: textql.quality_score(_docs(s, d)),
         "fingerprints": lambda s, d: textql.doc_fingerprints(_docs(s, d)),
         "dedup_exact": lambda s, d: dedup.exact_dedup(_docs(s, d)),
-        "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(_docs(s, d), 0.5),
+        # standalone discovery path WITH the DF cap active (stop-shingles
+        # dropped before the self-join; oracle mirrors the capped space)
+        "jaccard_pairs": lambda s, d: dedup.jaccard_pairs(
+            _docs(s, d), 0.5, max_df=dedup.JACCARD_MAX_DF
+        ),
         "minhash_signatures": lambda s, d: dedup.minhash_signatures(_docs(s, d)),
         "minhash_lsh": lambda s, d: dedup.minhash_lsh_dedup(_docs(s, d), 0.5),
         "simhash": lambda s, d: dedup.simhash(_docs(s, d)),

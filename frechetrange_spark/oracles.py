@@ -363,12 +363,20 @@ shingles AS (
 shingles_nn AS (SELECT doc_id, sh FROM shingles WHERE sh IS NOT NULL)
 """
 
-JACCARD_PAIRS_SQL = f"""
+def _jaccard_pairs_sql() -> str:
+    """Mirrors dedup.jaccard_pairs(docs, 0.5, max_df=JACCARD_MAX_DF): the
+    graded standalone path drops stop-shingles (DF > cap) before the
+    self-join, and sizes/intersections are over the capped shingle space."""
+    from frechetrange_spark.operators.dedup import JACCARD_MAX_DF
+
+    return f"""
 WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM shingles_nn GROUP BY doc_id),
+kept AS (SELECT sh FROM shingles_nn GROUP BY sh HAVING COUNT(*) <= {JACCARD_MAX_DF}),
+capped AS (SELECT s.doc_id, s.sh FROM shingles_nn s JOIN kept k ON s.sh = k.sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM capped GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, CAST(COUNT(*) AS BIGINT) AS inter
-  FROM shingles_nn a JOIN shingles_nn b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_id_1, doc_id_2,
@@ -378,6 +386,9 @@ JOIN sizes s1 ON s1.doc_id = doc_id_1
 JOIN sizes s2 ON s2.doc_id = doc_id_2
 WHERE CAST(inter AS DOUBLE) / CAST(s1.sz + s2.sz - inter AS DOUBLE) >= 0.5
 """
+
+
+JACCARD_PAIRS_SQL = _jaccard_pairs_sql()
 
 
 def _minhash_cte() -> str:
