@@ -105,7 +105,7 @@ def _q_grid_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_grid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir)
+    curves = _persist(_curves(spark, sf_dir))
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     index_df, meta = build_grid_index(curves, MESH, corner="min_min")
     return grid_candidates(index_df, queries, EPS, meta).select(
@@ -114,7 +114,10 @@ def _q_grid_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_endpoint_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    curves = _curves(spark, sf_dir)
+    # persist: both join sides derive from the same grouped-curve subtree,
+    # and the di-hash probe itself is a sub-second broadcast join — without
+    # the cache the collect_list aggregation runs twice and dominates
+    curves = _persist(_curves(spark, sf_dir))
     queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
     return endpoint_candidates(curves, queries, EPS, MESH)
 

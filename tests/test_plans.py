@@ -51,6 +51,23 @@ def test_grid_join_broadcasts_small_query_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_endpoint_join_broadcasts_small_query_side(spark):
+    """J3 di-hash probe: the exploded query side (small workload) must be
+    the broadcast side of the cell equi-join, with both endpoint distance
+    predicates attached as the join condition — pins the round-2 driver
+    bench regression to variance, not a lost broadcast."""
+    from frechetrange_spark.operators.dihash import endpoint_candidates
+
+    curves = load_curves(spark, SF_SMALL)
+    queries = curves.filter(F.col("traj_id") % 50 == 0)
+    plan = _explain(endpoint_candidates(curves, queries, 15.0, 15.0))
+    assert "BroadcastHashJoin" in plan
+    # endpoint predicates run inside the join, not a post-join filter stage
+    assert "Join condition" in plan
+    cond = plan[plan.index("Join condition"):].splitlines()[0]
+    assert "q_x_first" in cond and "q_x_last" in cond
+
+
 def test_salted_grid_join_is_sort_merge(spark):
     """With salt, the join is hinted to sort-merge on the salted key —
     the skew-spreading plan (see BENCH.md hot-cell section)."""
