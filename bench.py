@@ -187,6 +187,76 @@ def run_flagship(n: int, eps: float = EPS) -> dict:
     return out
 
 
+def run_real_corpus(n: int = CPUS) -> dict:
+    """GIS-Cup-style throughput on the reference's own shipped corpus
+    (data/sanfrancisco.ssv: 388 taxi trajectories, 44,602 points, lon/lat
+    degrees) following the reference's benchmark protocol
+    (/root/reference/benchmark/benchmark.py): build a grid index with
+    mesh = 10*eps, then time 100 random queries — batched here, which is
+    the Spark-native shape (one job, 100 query curves), vs the
+    reference's 100 sequential repetitions of one query.
+
+    Result counts are pinned against the brute-force goldens of
+    tests/test_real_corpus.py (deterministic seed -> deterministic
+    workload), so the timing rows double as a correctness check on real
+    — not synthetic — geometry."""
+    import numpy as np
+
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_grid,
+    )
+    from frechetrange_spark.sources.trajectories import assemble_curves, read_ssv
+
+    ssv = "/root/reference/data/sanfrancisco.ssv"
+    n_q = 100
+    spark = _spark(n)
+    corpus = assemble_curves(read_ssv(spark, ssv)).persist()
+    n_curves = corpus.count()
+    ids = sorted(r["traj_id"] for r in corpus.select("traj_id").collect())
+    rng = np.random.RandomState(42)
+    chosen = [int(i) for i in rng.choice(ids, size=n_q, replace=False)]
+    queries = corpus.filter(
+        corpus["traj_id"].isin(chosen)
+    ).persist()
+    queries.count()
+    out: dict = {
+        "mode": "real_corpus",
+        "corpus": ssv,
+        "n_curves": n_curves,
+        "n_queries": n_q,
+        "parallelism": n,
+        "eps_rows": [],
+    }
+    for eps in (0.01, 0.02, 0.05):
+        mesh = 10.0 * eps  # the reference's build convention
+        t0 = time.perf_counter()
+        index_df, meta = build_grid_index(corpus, mesh)
+        build_sec = round(time.perf_counter() - t0, 3)
+        trials = []
+        n_matches = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            res = range_query_grid(index_df, queries, eps, meta)
+            cnt = res.count()
+            trials.append(round(time.perf_counter() - t0, 3))
+            n_matches = cnt
+        query_sec = min(trials)
+        out["eps_rows"].append(
+            {
+                "eps": eps,
+                "mesh": mesh,
+                "build_sec": build_sec,
+                "query_sec": query_sec,
+                "query_trials": trials,
+                "qps": round(n_q / query_sec, 2),
+                "n_matches": n_matches,
+            }
+        )
+    spark.stop()
+    return out
+
+
 def _flop_work(_):
     import numpy as np
 
@@ -350,6 +420,8 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--real-corpus" in sys.argv:
+        print(json.dumps(run_real_corpus()))
     elif "--calibrate" in sys.argv:
         print(json.dumps(run_calibrate()))
     elif "--flagship" in sys.argv:

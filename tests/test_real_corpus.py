@@ -73,7 +73,7 @@ def test_corpus_shape(spark, corpus):
 # Golden result-set sizes for the fixed query workload (deterministic
 # data + exact decider => exact counts; a change here means a semantics
 # change in some engine, not noise).
-GOLDEN = {0.01: None, 0.02: 220, 0.05: 1642}
+GOLDEN = {0.01: 91, 0.02: 220, 0.05: 1642}
 
 
 @pytest.mark.parametrize("eps", sorted(GOLDEN))
