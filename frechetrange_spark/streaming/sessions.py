@@ -10,16 +10,34 @@ update per key equals the batch sessionize row once the stream drains
 (tested with multi-file micro-batches). Session ids are 1-based per user
 in event-time order, exactly like the batch operator.
 
-State per user: (session_id, start_sec, last_sec, n_events, value_cents)
-of the OPEN session. Events are assumed in event-time order ACROSS
-micro-batches per user (file-arrival order in backfills; add a watermark
-+ per-batch sort upstream for out-of-order sources), and each batch's
-group rows are sorted here.
+Out-of-order events (bounded lateness): events need NOT arrive in
+event-time order across micro-batches. Per user, GroupState holds a
+buffer of not-yet-final events plus the fold state of everything already
+finalized; each batch advances a per-user event-time frontier
+``max_seen - lateness_sec`` and
+
+- FINALIZES buffered events at or below the frontier (folded, in
+  (ts, event_id) order, into the running session state — these can never
+  be reordered again),
+- keeps newer events buffered and emits a PROVISIONAL view (finalized
+  fold extended by the sorted buffer), re-emitted as the buffer evolves,
+- DROPS events arriving strictly below the frontier (too late — the
+  standard watermark contract; correctness is guaranteed only for
+  disorder within ``lateness_sec``), and
+- emits a tombstone (``n_events = 0``) for any previously-emitted
+  session id that disappears when a late event bridges two provisional
+  sessions into one (consumers keep the latest row per key and drop
+  ``n_events = 0``).
+
+``lateness_sec=0`` reproduces strict in-order semantics (everything
+finalizes immediately; cross-batch stragglers are dropped instead of
+silently mis-folded). State stays bounded: the buffer only holds events
+within ``lateness_sec`` of the per-user max event time.
 """
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Tuple
+from typing import Any, Callable, Iterator, Tuple
 
 import numpy as np
 import pandas as pd
@@ -34,7 +52,8 @@ OUTPUT_SCHEMA = (
 )
 STATE_SCHEMA = (
     "session_id long, start_sec double, last_sec double, "
-    "n_events long, value_cents long"
+    "n_events long, value_cents long, max_seen double, emitted_max long, "
+    "buf_secs array<double>, buf_eids array<long>, buf_cents array<long>"
 )
 
 EVENTS_SCHEMA = (
@@ -42,66 +61,139 @@ EVENTS_SCHEMA = (
     "value double, props string"
 )
 
+_NEG_INF = float("-inf")
+
 
 def _cents(values: np.ndarray) -> np.ndarray:
     # HALF_UP like Spark's round() (values are non-negative prices)
     return np.floor(values * 100.0 + 0.5).astype(np.int64)
 
 
-def _session_func(
-    key: Tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    rows = pd.concat(list(pdfs))
-    if len(rows) == 0:
-        return
-    rows = rows.sort_values(["ts", "event_id"])
-    # normalize to ns first: Arrow may hand pandas datetime64[us]
-    secs = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
-    cents = _cents(rows["value"].to_numpy())
-
-    if state.exists:
-        sid, start, last, n, cent_sum = state.get
-    else:
-        sid, start, last, n, cent_sum = 0, 0.0, -np.inf, 0, 0
-
-    out: list[tuple] = []
-    for sec, c in zip(secs, cents):
-        if sec - last > SESSION_GAP_SEC or sid == 0:
+def _fold(
+    user_id: int,
+    sid: int,
+    start: float,
+    last: float,
+    n: int,
+    cents: int,
+    secs: np.ndarray,
+    cent_arr: np.ndarray,
+    closed: list[tuple],
+) -> tuple[int, float, float, int, int]:
+    """Fold (ts, event_id)-sorted events into the running session state,
+    appending each CLOSED session's final aggregate to ``closed``."""
+    for sec, c in zip(secs, cent_arr):
+        if sid == 0 or sec - last > SESSION_GAP_SEC:
             if sid > 0:
-                # close the previous session (its final update)
-                out.append((user_id, sid, n, start, last, cent_sum))
+                closed.append((user_id, sid, n, start, last, cents))
             sid += 1
-            start, n, cent_sum = sec, 0, 0
+            start, n, cents = sec, 0, 0
         last = sec
         n += 1
-        cent_sum += int(c)
-    out.append((user_id, sid, n, start, last, cent_sum))
-    state.update((sid, float(start), float(last), int(n), int(cent_sum)))
-    yield pd.DataFrame(
-        out,
-        columns=[
-            "user_id",
-            "session_id",
-            "n_events",
-            "start_sec",
-            "end_sec",
-            "value_cents",
-        ],
-    )
+        cents += int(c)
+    return sid, start, last, n, cents
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
+def _make_session_func(lateness_sec: float) -> Callable:
+    def _session_func(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs))
+        if len(rows) == 0:
+            return
+        # normalize to ns first: Arrow may hand pandas datetime64[us]
+        secs = rows["ts"].astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        eids = rows["event_id"].to_numpy().astype(np.int64)
+        cents = _cents(rows["value"].to_numpy())
+
+        if state.exists:
+            (sid, start, last, n, cent_sum, max_seen, emitted_max,
+             b_secs, b_eids, b_cents) = state.get
+            buf_secs = np.asarray(b_secs, dtype=np.float64)
+            buf_eids = np.asarray(b_eids, dtype=np.int64)
+            buf_cents = np.asarray(b_cents, dtype=np.int64)
+        else:
+            sid, start, last, n, cent_sum = 0, 0.0, _NEG_INF, 0, 0
+            max_seen, emitted_max = _NEG_INF, 0
+            buf_secs = np.empty(0, dtype=np.float64)
+            buf_eids = np.empty(0, dtype=np.int64)
+            buf_cents = np.empty(0, dtype=np.int64)
+
+        # watermark drop: strictly below the PRE-batch frontier is too late
+        frontier_old = max_seen - lateness_sec
+        keep = secs >= frontier_old
+        secs_k, eids_k, cents_k = secs[keep], eids[keep], cents[keep]
+
+        buf_secs = np.concatenate([buf_secs, secs_k])
+        buf_eids = np.concatenate([buf_eids, eids_k])
+        buf_cents = np.concatenate([buf_cents, cents_k])
+        max_seen = max(max_seen, float(secs.max()))
+        frontier_new = max_seen - lateness_sec
+
+        order = np.lexsort((buf_eids, buf_secs))
+        buf_secs, buf_eids, buf_cents = (
+            buf_secs[order], buf_eids[order], buf_cents[order]
+        )
+        n_final = int(np.searchsorted(buf_secs, frontier_new, side="right"))
+
+        out: list[tuple] = []
+        sid, start, last, n, cent_sum = _fold(
+            user_id, sid, start, last, n, cent_sum,
+            buf_secs[:n_final], buf_cents[:n_final], out,
+        )
+        buf_secs, buf_eids, buf_cents = (
+            buf_secs[n_final:], buf_eids[n_final:], buf_cents[n_final:]
+        )
+
+        # provisional view: finalized fold extended by the pending buffer
+        p_sid, p_start, p_last, p_n, p_cents = _fold(
+            user_id, sid, start, last, n, cent_sum, buf_secs, buf_cents, out
+        )
+        if p_sid > 0:
+            out.append((user_id, p_sid, p_n, p_start, p_last, p_cents))
+        # tombstone session ids that vanished (late event merged sessions)
+        for gone in range(p_sid + 1, emitted_max + 1):
+            out.append((user_id, gone, 0, 0.0, 0.0, 0))
+        emitted_max = max(p_sid, 0)
+
+        state.update((
+            int(sid), float(start), float(last), int(n), int(cent_sum),
+            float(max_seen), int(emitted_max),
+            [float(v) for v in buf_secs],
+            [int(v) for v in buf_eids],
+            [int(v) for v in buf_cents],
+        ))
+        if not out:
+            return
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_id",
+                "n_events",
+                "start_sec",
+                "end_sec",
+                "value_cents",
+            ],
+        )
+
+    return _session_func
+
+
+def sessionize_stateful(events: DataFrame, lateness_sec: float = 0.0) -> DataFrame:
     """Apply the stateful sessionizer to a STREAMING events DataFrame
     (applyInPandasWithState is streaming-only — for batch inputs use
     operators.events.sessionize, the window-based twin). Each micro-batch
-    updates the open session in ``GroupState`` and emits current
-    aggregates; the latest row per (user_id, session_id) converges to the
-    batch ``sessionize`` result (tested)."""
+    updates the per-user state in ``GroupState`` and emits current
+    aggregates; the latest non-tombstone row per (user_id, session_id)
+    converges to the batch ``sessionize`` result for any stream whose
+    event-time disorder is bounded by ``lateness_sec`` (tested with
+    shuffled files)."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_func,
+        _make_session_func(float(lateness_sec)),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
@@ -115,6 +207,7 @@ def start_session_stream(
     checkpoint_dir: str,
     query_name: str,
     max_files_per_trigger: int | None = None,
+    lateness_sec: float = 0.0,
 ):
     """Stream event parquet files through the stateful sessionizer into
     an update-mode memory sink (bounded backfills / tests). Production:
@@ -124,7 +217,7 @@ def start_session_stream(
         reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     stream = reader.parquet(input_dir)
     return (
-        sessionize_stateful(stream)
+        sessionize_stateful(stream, lateness_sec=lateness_sec)
         .writeStream.outputMode("update")
         .format("memory")
         .queryName(query_name)

@@ -216,6 +216,147 @@ def test_session_window_agrees_with_gap_sessionize(spark):
     assert native == explicit
 
 
+def _run_session_stream_foreach(
+    spark, flat_dir, ckpt_dir, lateness_sec, max_files_per_trigger=1
+):
+    """Drive the stateful sessionizer with a foreachBatch sink that tags
+    every update with its epoch, so 'latest per key' is by arrival order
+    (n_events is not monotone per key once late events can merge
+    sessions)."""
+    from frechetrange_spark.streaming.sessions import (
+        EVENTS_SCHEMA,
+        sessionize_stateful,
+    )
+
+    captured = []
+
+    def sink(df, epoch_id):
+        captured.extend((epoch_id, tuple(r)) for r in df.collect())
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", int(max_files_per_trigger))
+        .parquet(flat_dir)
+    )
+    q = (
+        sessionize_stateful(stream, lateness_sec=lateness_sec)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    cols = ["user_id", "session_id", "n_events", "start_sec", "end_sec", "value_cents"]
+    import pandas as pd
+
+    updates = pd.DataFrame([r for _, r in captured], columns=cols)
+    updates["epoch"] = [e for e, _ in captured]
+    latest = (
+        updates.sort_values("epoch")
+        .groupby(["user_id", "session_id"], as_index=False)
+        .last()
+    )
+    # drop tombstones (session ids retracted by a late-event merge)
+    return latest[latest["n_events"] > 0][cols]
+
+
+def _assert_frames_match(latest, batch_df):
+    import numpy as np
+
+    batch = batch_df.toPandas()
+    batch["start_sec"] = (
+        batch["start_ts"].astype("datetime64[ns]").astype("int64") / 1e9
+    )
+    batch["end_sec"] = (
+        batch["end_ts"].astype("datetime64[ns]").astype("int64") / 1e9
+    )
+    cols = ["user_id", "session_id", "n_events", "start_sec", "end_sec", "value_cents"]
+    a = latest[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    b = batch[cols].sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    for c in cols:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, bv, atol=1e-6), c
+        else:
+            assert (av == bv).all(), c
+
+
+def test_stateful_sessionizer_handles_shuffled_stream(spark, tmp_path):
+    """Out-of-order replay: events split into 6 files in SHUFFLED (not
+    event-time) order, one file per micro-batch. With lateness covering
+    the disorder, the latest non-tombstone update per (user_id,
+    session_id) equals the batch sessionize result — late events are
+    buffered in GroupState, merges retract stale session ids."""
+    import numpy as np
+
+    from frechetrange_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "shard", (F.crc32(F.col("event_id").cast("string")) % 6).cast("int")
+    )
+    in_dir = str(tmp_path / "ev")
+    flat = in_dir + "/flat"
+    os.makedirs(flat, exist_ok=True)
+    # shard pseudo-randomly by event id -> every file spans the whole time
+    # range, so successive micro-batches interleave arbitrarily in event
+    # time (maximal cross-batch disorder)
+    for s in range(6):
+        ev.filter(F.col("shard") == s).drop("shard").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(in_dir + f"/s{s}")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(in_dir + "/s*/part-*.parquet"))):
+        shutil.copy(f, flat + f"/file{i}.parquet")
+
+    span = ev.selectExpr(
+        "cast(max(cast(ts as timestamp)) as double) - "
+        "cast(min(cast(ts as timestamp)) as double) as s"
+    ).collect()[0]["s"]
+    latest = _run_session_stream_foreach(
+        spark, flat, str(tmp_path / "ckpt"), lateness_sec=float(span) + 1.0
+    )
+    _assert_frames_match(latest, sessionize(ev.drop("shard")))
+
+
+def test_stateful_sessionizer_drops_beyond_lateness(spark, tmp_path):
+    """An event arriving later than the lateness bound is DROPPED (the
+    watermark contract), not mis-folded: stream time-ordered events, then
+    a straggler file whose single event is far older than the frontier —
+    the final state equals the batch result WITHOUT the straggler."""
+    from frechetrange_spark.operators.events import sessionize
+
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    one_user = ev.orderBy("user_id").select("user_id").first()["user_id"]
+    u = ev.filter(F.col("user_id") == one_user)
+    in_dir = str(tmp_path / "ev")
+    flat = in_dir + "/flat"
+    os.makedirs(flat, exist_ok=True)
+    # file0: all of the user's events, in order; file1: a copy of the
+    # EARLIEST event re-timestamped 10ks earlier (far below any frontier)
+    u.coalesce(1).write.mode("overwrite").parquet(in_dir + "/f0")
+    straggler = (
+        u.orderBy("ts", "event_id")
+        .limit(1)
+        .withColumn("ts", F.col("ts") - F.expr("INTERVAL 10000 SECONDS"))
+        .withColumn("event_id", F.col("event_id") + F.lit(10_000_000))
+    )
+    straggler.coalesce(1).write.mode("overwrite").parquet(in_dir + "/f1")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(in_dir + "/f*/part-*.parquet"))):
+        shutil.copy(f, flat + f"/file{i}.parquet")
+
+    latest = _run_session_stream_foreach(
+        spark, flat, str(tmp_path / "ckpt"), lateness_sec=60.0
+    )
+    _assert_frames_match(latest, sessionize(u))
+
+
 def test_stateful_sessionizer_converges_to_batch(spark, tmp_path):
     """applyInPandasWithState sessionization across TWO time-ordered
     micro-batches: the latest update per (user_id, session_id) equals the
