@@ -215,8 +215,9 @@ def ann_topk_ivf(
     the query->cells probe map ride in the closure; cell assignment,
     probe masking, and the scoring matmul all happen per Arrow batch; the
     only shuffled rows are each partition's local top-k (exactly the
-    brute-force plan's tail). At 100 TB, pre-partition the base table by
-    ``ivf_assign`` so probes prune file groups instead of masking rows."""
+    brute-force plan's tail). At 100 TB, use ``ivf_write_partitioned`` +
+    ``ann_topk_ivf_partitioned``: the same plan over a table partitioned
+    by cell, where probes prune file groups instead of masking rows."""
     qids, qm = _collect_queries(emb, query_mod)
     kk = int(k)
     C = ivf_fit_centroids(emb, n_cells)
@@ -268,6 +269,126 @@ def ann_topk_ivf(
         kernel, schema="query_id long, vec_id long, cosine double"
     )
     return _topk_window(local, kk)
+
+
+def ivf_write_partitioned(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    n_assign: int = 3,
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Write the embeddings table PARTITIONED BY its IVF cell — the 100-TB
+    layout: each base vector is duplicated into its ``n_assign`` nearest
+    cells (the multi-assign spill materialized on disk), so a probe that
+    touches ``n_probe`` cells reads only those partition directories and
+    the other files are never opened (partition pruning, asserted in
+    tests/test_similarity.py). Returns the centroid matrix (persist it
+    next to the table at scale; it is deterministic here — fixed seed —
+    so recomputing from the same table reproduces it)."""
+    C = centroids if centroids is not None else ivf_fit_centroids(emb, n_cells)
+    Cn = _normalize_rows(C)
+    n_assign = min(int(n_assign), Cn.shape[0])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+            sim = m @ Cn.T
+            if n_assign == 1:
+                cells = np.argmax(sim, axis=1)[:, None]
+            else:
+                cells = np.argpartition(-sim, n_assign - 1, axis=1)[:, :n_assign]
+            idx = np.repeat(np.arange(len(pdf)), n_assign)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values[idx],
+                    "embedding": pdf["embedding"].values[idx],
+                    "ivf_cell": cells.reshape(-1),
+                }
+            )
+
+    exploded = emb.select("vec_id", "embedding").mapInPandas(
+        kernel, schema="vec_id long, embedding array<double>, ivf_cell long"
+    )
+    exploded.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    return C
+
+
+def ann_topk_ivf_partitioned(
+    spark,
+    path: str,
+    centroids: np.ndarray,
+    k: int = 5,
+    query_mod: int = 50,
+    n_probe: int = 8,
+) -> DataFrame:
+    """IVF probe over the ``ivf_write_partitioned`` layout: the union of
+    all queries' probe cells becomes a PARTITION FILTER on the scan (only
+    the probed ``ivf_cell=...`` directories are read), then each query
+    scores only the rows of its own probe cells. Returns exactly
+    ``ann_topk_ivf``'s result for the same centroids/n_probe/n_assign
+    (parity-tested): the on-disk spill layout replaces the in-kernel
+    multi-assign, trading ``n_assign``x storage for file pruning."""
+    Cn = _normalize_rows(centroids)
+    base = spark.read.parquet(path)
+    qdf = (
+        base.filter(F.col("vec_id") % query_mod == 0)
+        .select("vec_id", "embedding")
+        .dropDuplicates(["vec_id"])
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qm = _normalize_rows(np.stack(qdf["embedding"].to_numpy()))
+    kk = int(k)
+    n_probe = min(int(n_probe), Cn.shape[0])
+    qc = qm @ Cn.T
+    probe = np.argpartition(-qc, n_probe - 1, axis=1)[:, :n_probe]
+    probe_mask = np.zeros((len(qids), Cn.shape[0]), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probe[qi]] = True
+    probed_cells = sorted(int(c) for c in np.unique(probe))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
+            vids = pdf["vec_id"].to_numpy()
+            cells = pdf["ivf_cell"].to_numpy().astype(np.int64)
+            out = []
+            for qi, qid in enumerate(qids):
+                mask = probe_mask[qi][cells] & (vids != qid)
+                cand_idx = np.nonzero(mask)[0]
+                if cand_idx.size == 0:
+                    continue
+                row = m[cand_idx] @ qm[qi]
+                take = min(kk, cand_idx.size)
+                part = np.argpartition(-row, take - 1)[:take]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "vec_id": vids[cand_idx[part]],
+                            "cosine": row[part],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "vec_id": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+
+    pruned = base.filter(F.col("ivf_cell").isin(probed_cells))
+    local = pruned.select("vec_id", "embedding", "ivf_cell").mapInPandas(
+        kernel, schema="query_id long, vec_id long, cosine double"
+    )
+    # a vector spilled into two probed cells scores twice (bit-identical
+    # cosine both times) — collapse before the global top-k window
+    return _topk_window(local.dropDuplicates(["query_id", "vec_id"]), kk)
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
