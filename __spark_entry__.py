@@ -264,6 +264,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.synth_media(_docs(s, d))
         ).select("doc_id", F.element_at("features", 1).alias("f0")),
         "media_decode": lambda s, d: multimodal.decode_summary(_docs(s, d)),
+        # FRV1 demux + per-frame PPM decode + sampling stride (real video
+        # decode path; pix_sum keeps the oracle order-independent)
+        "frame_decode": lambda s, d: multimodal.extract_frames(
+            multimodal.synth_media_binary(_docs(s, d)), every_ms=1000
+        ).select(
+            "doc_id",
+            "frame_idx",
+            "frame_ts_ms",
+            "width",
+            "height",
+            F.aggregate(
+                "pixels", F.lit(0).cast("long"), lambda a, v: a + v
+            ).alias("pix_sum"),
+        ),
         "resize_images": lambda s, d: multimodal.resize_images(
             multimodal.synth_media_binary(_docs(s, d)), 8, 8
         ).select(
@@ -331,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": oracles.MEDIA_META_SQL,
         "frame_sample": oracles.FRAME_SAMPLE_SQL,
         "media_decode": oracles.MEDIA_DECODE_SQL,
+        "frame_decode": oracles.FRAME_DECODE_SQL,
         # "resize_images": numpy gather kernel — rows-only check
         #   (nearest-neighbor parity verified in tests/test_multimodal.py)
         # "media_features": binary-kernel op — rows-only check

@@ -2,20 +2,27 @@
 typed metadata, plus the Spark-side decode / feature-extract / resize /
 frame-sample operators.
 
-Image and audio decode are REAL and dependency-free: a pure-numpy PPM (P6)
-parser and a PCM16 WAV parser run Arrow-batched inside ``mapInPandas``
-(no PIL/ffmpeg in this environment — and none needed for these formats).
-Video decode remains stubbed (a container demuxer genuinely needs
-ffmpeg); ``frame_sample`` implements the scheduling half.
+All three decode paths are REAL and dependency-free, running Arrow-batched
+inside ``mapInPandas`` (no PIL/ffmpeg in this environment — and none
+needed for these formats):
+
+- images: a pure-numpy PPM (P6) parser;
+- audio: a PCM16 mono WAV (RIFF) parser;
+- video: a raw-frame container of our own ("FRV1": fixed little-endian
+  header + length-prefixed concatenated PPM frames at a constant frame
+  interval). Real codecs (H.264 etc.) genuinely need ffmpeg, so the
+  CONTAINER is the honest stand-in: demux, per-frame decode, and frame
+  sampling are all real numpy code with the exact batch shape an
+  ffmpeg-backed decoder would have.
 
 Two synthetic media tables over the documents corpus:
 
 - ``synth_media``: payload = utf-8 text bytes (opaque), metadata pure
   functions of doc_id — the metadata query has an exact SQL oracle.
-- ``synth_media_binary``: VALID payloads — PPM images and WAV audio whose
-  pixel/sample values are integer functions of (doc_id, flat index), so
-  decoded integer value-sums are order-independent and the decode query
-  has an exact SQL oracle too.
+- ``synth_media_binary``: VALID payloads — PPM images, PCM16 WAV audio,
+  and FRV1 video whose pixel/sample values are integer functions of
+  (doc_id, frame, flat index), so decoded integer value-sums are
+  order-independent and the decode queries have exact SQL oracles too.
 """
 
 from __future__ import annotations
@@ -33,6 +40,7 @@ FEATURE_BINS = 16
 IMG_W, IMG_H = 16, 12
 WAV_SAMPLES = 256
 WAV_RATE = 8000
+VID_INTERVAL_MS = 500  # constant frame spacing in the FRV1 container
 
 
 def synth_media(docs: DataFrame) -> DataFrame:
@@ -158,11 +166,56 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     raise ValueError("no data chunk")
 
 
+def _vid_n_frames(doc_id: int) -> int:
+    """2..4 frames per synthetic video (same contract as _img_pixels)."""
+    return 2 + doc_id % 3
+
+
+def _vid_pixels(doc_id: int, frame: int) -> np.ndarray:
+    """Deterministic per-frame pixel bytes, flat row-major (h, w, 3)."""
+    i = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
+    return ((doc_id * 7 + frame * 101 + i * 13) % 256).astype(np.uint8)
+
+
+def encode_frv(frames: list[bytes], interval_ms: int = VID_INTERVAL_MS) -> bytes:
+    """FRV1 raw-frame video container: magic + le32 frame count + le32
+    frame interval (ms), then each frame as le32 length + PPM bytes."""
+
+    def le32(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    parts = [b"FRV1", le32(len(frames)), le32(interval_ms)]
+    for fr in frames:
+        parts.append(le32(len(fr)))
+        parts.append(fr)
+    return b"".join(parts)
+
+
+def decode_frv(payload: bytes) -> tuple[int, list[bytes]]:
+    """(interval_ms, frame payloads) from an FRV1 container — the demux
+    half; each returned frame is a standalone PPM for decode_ppm."""
+    if payload[:4] != b"FRV1":
+        raise ValueError("not an FRV1 payload")
+    n_frames = int.from_bytes(payload[4:8], "little")
+    interval_ms = int.from_bytes(payload[8:12], "little")
+    pos, frames = 12, []
+    for _ in range(n_frames):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated FRV1 frame table")
+        size = int.from_bytes(payload[pos : pos + 4], "little")
+        pos += 4
+        if pos + size > len(payload):
+            raise ValueError("truncated FRV1 frame payload")
+        frames.append(payload[pos : pos + size])
+        pos += size
+    return interval_ms, frames
+
+
 def synth_media_binary(docs: DataFrame) -> DataFrame:
     """(doc_id, media_type, payload): VALID media payloads — PPM images
-    (doc_id % 3 == 0) and PCM16 WAV audio (doc_id % 3 == 1); video rows
-    are excluded (container demux stays stubbed). Pixel/sample values are
-    integer functions of (doc_id, index) so the decode oracle is exact."""
+    (doc_id % 3 == 0), PCM16 WAV audio (doc_id % 3 == 1), and FRV1 video
+    (doc_id % 3 == 2, 2-4 PPM frames). Pixel/sample values are integer
+    functions of (doc_id, frame, index) so the decode oracles are exact."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,9 +225,16 @@ def synth_media_binary(docs: DataFrame) -> DataFrame:
                 if d % 3 == 0:
                     payloads.append(encode_ppm(_img_pixels(d), IMG_W, IMG_H))
                     kinds.append("image")
-                else:
+                elif d % 3 == 1:
                     payloads.append(encode_wav(_wav_samples(d)))
                     kinds.append("audio")
+                else:
+                    frames = [
+                        encode_ppm(_vid_pixels(d, f), IMG_W, IMG_H)
+                        for f in range(_vid_n_frames(d))
+                    ]
+                    payloads.append(encode_frv(frames))
+                    kinds.append("video")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
@@ -183,10 +243,8 @@ def synth_media_binary(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return (
-        docs.filter(F.col("doc_id") % 3 != 2)
-        .select("doc_id")
-        .mapInPandas(kernel, schema="doc_id long, media_type string, payload binary")
+    return docs.select("doc_id").mapInPandas(
+        kernel, schema="doc_id long, media_type string, payload binary"
     )
 
 
@@ -196,9 +254,9 @@ def decode_media(media: DataFrame) -> DataFrame:
     (doc_id, media_type, width, height, sample_rate, values array<long>)
 
     Image values are pixel bytes 0..255 flat row-major; audio values are
-    raw int16 samples (integers keep downstream aggregates
-    order-independent). Video payloads raise (container demux needs
-    ffmpeg — the one remaining stub, by design)."""
+    raw int16 samples; video values are all frames' pixel bytes
+    concatenated in frame order (integers keep downstream aggregates
+    order-independent)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,9 +281,18 @@ def decode_media(media: DataFrame) -> DataFrame:
                     out["sample_rate"].append(rate)
                     out["values"].append(smp.astype(np.int64))
                 else:
-                    raise NotImplementedError(
-                        "video decode requires a container demuxer (ffmpeg), "
-                        "not available in this environment"
+                    _, frames = decode_frv(b)
+                    decoded = [decode_ppm(fr) for fr in frames]
+                    w, h = decoded[0][0], decoded[0][1]
+                    if any((fw, fh) != (w, h) for fw, fh, _ in decoded):
+                        raise ValueError("FRV1 frames disagree on geometry")
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["sample_rate"].append(None)
+                    out["values"].append(
+                        np.concatenate([px for _, _, px in decoded]).astype(
+                            np.int64
+                        )
                     )
                 out["doc_id"].append(doc_id)
                 out["media_type"].append(kind)
@@ -317,10 +384,55 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Real frame extraction over FRV1 video rows: demux the container,
+    decode every ``every_ms``-th frame (constant frame interval from the
+    header), and emit the frame's pixels —
+
+    (doc_id, frame_idx, frame_ts_ms, width, height, pixels array<long>)
+
+    Arrow-batched like every codec kernel here; this is the decode half
+    of frame sampling (``frame_sample`` is the Catalyst-native scheduling
+    half over metadata-only tables)."""
+    step_ms = int(every_ms)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "frame_ts_ms": [],
+                "width": [], "height": [], "pixels": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                interval_ms, frames = decode_frv(bytes(payload))
+                stride = max(1, step_ms // max(1, interval_ms))
+                for idx in range(0, len(frames), stride):
+                    w, h, px = decode_ppm(frames[idx])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(idx * interval_ms)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixels"].append(px.astype(np.int64))
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select("doc_id", "payload")
+        .mapInPandas(
+            kernel,
+            schema=(
+                "doc_id long, frame_idx long, frame_ts_ms long, "
+                "width long, height long, pixels array<long>"
+            ),
+        )
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """(doc_id, frame_ts_ms): deterministic frame-sampling plan for video
-    rows — the scheduling half of frame extraction (the decode half is the
-    stub). Catalyst-native sequence explode."""
+    rows — the scheduling half of frame extraction over metadata-only
+    tables (``extract_frames`` is the decode half for FRV1 payloads).
+    Catalyst-native sequence explode."""
     return (
         media.filter((F.col("media_type") == "video") & (F.col("duration_ms") > 0))
         .select(

@@ -118,19 +118,28 @@ def test_wav_tolerates_extra_chunks():
 
 def test_decode_media_distributed_roundtrip(spark, docs):
     """decode(synth_media_binary(docs)) reproduces the generator formulas
-    exactly through the full Spark/Arrow path."""
+    exactly through the full Spark/Arrow path — images, audio, AND video
+    (FRV1 demux + per-frame PPM decode)."""
+    from frechetrange_spark.operators.multimodal import _vid_n_frames, _vid_pixels
+
     sub = docs.filter("doc_id < 30")
     rows = decode_media(synth_media_binary(sub)).collect()
-    assert len(rows) == sub.filter("doc_id % 3 != 2").count()
+    assert len(rows) == sub.count()
     for r in rows:
         d = r["doc_id"]
         if r["media_type"] == "image":
             assert (r["width"], r["height"]) == (IMG_W, IMG_H)
             assert np.array_equal(np.array(r["values"]), _img_pixels(d))
-        else:
+        elif r["media_type"] == "audio":
             assert r["sample_rate"] == WAV_RATE
             assert len(r["values"]) == WAV_SAMPLES
             assert np.array_equal(np.array(r["values"]), _wav_samples(d))
+        else:
+            assert (r["width"], r["height"]) == (IMG_W, IMG_H)
+            want = np.concatenate(
+                [_vid_pixels(d, f) for f in range(_vid_n_frames(d))]
+            )
+            assert np.array_equal(np.array(r["values"]), want)
 
 
 def test_resize_nearest_neighbor_parity(spark, docs):
@@ -148,14 +157,61 @@ def test_resize_nearest_neighbor_parity(spark, docs):
         assert np.array_equal(pix, want)
 
 
-def test_video_decode_remains_stubbed(spark, docs):
-    """Only container demux (video) is stubbed now; decoding a video-typed
-    row raises inside the kernel."""
-    m = synth_media(docs).filter("media_type = 'video'").limit(1)
-    from py4j.protocol import Py4JJavaError
+def test_frv_roundtrip_local():
+    """FRV1 container: encode N PPM frames, demux them back bit-exactly."""
+    from frechetrange_spark.operators.multimodal import (
+        VID_INTERVAL_MS,
+        _vid_pixels,
+        decode_frv,
+        encode_frv,
+    )
 
+    frames = [encode_ppm(_vid_pixels(8, f), IMG_W, IMG_H) for f in range(4)]
+    interval, got = decode_frv(encode_frv(frames))
+    assert interval == VID_INTERVAL_MS
+    assert got == frames
+    with pytest.raises(ValueError):
+        decode_frv(b"nope")
+    with pytest.raises(ValueError):
+        decode_frv(encode_frv(frames)[:-3])  # truncated last frame
+
+
+def test_extract_frames_sampling_and_values(spark, docs):
+    """extract_frames demuxes FRV1 video rows and keeps every stride-th
+    frame: with every_ms = 2*interval only even frame indices survive,
+    timestamps are idx*interval, pixels match the generator formula."""
+    from frechetrange_spark.operators.multimodal import (
+        VID_INTERVAL_MS,
+        _vid_n_frames,
+        _vid_pixels,
+        extract_frames,
+    )
+
+    sub = docs.filter("doc_id < 30")
+    rows = extract_frames(
+        synth_media_binary(sub), every_ms=2 * VID_INTERVAL_MS
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    vids = [r["doc_id"] for r in sub.collect() if r["doc_id"] % 3 == 2]
+    assert sorted(by_doc) == sorted(vids)
+    for d, rs in by_doc.items():
+        n = _vid_n_frames(d)
+        want_idx = list(range(0, n, 2))
+        assert sorted(r["frame_idx"] for r in rs) == want_idx
+        for r in rs:
+            assert r["frame_ts_ms"] == r["frame_idx"] * VID_INTERVAL_MS
+            assert (r["width"], r["height"]) == (IMG_W, IMG_H)
+            assert np.array_equal(
+                np.array(r["pixels"]), _vid_pixels(d, r["frame_idx"])
+            )
+
+
+def test_decode_media_rejects_invalid_video_container(spark, docs):
+    """A video-typed row whose payload is NOT an FRV1 container fails
+    loudly inside the kernel (no silent skip)."""
+    m = synth_media(docs).filter("media_type = 'video'").limit(1)
     with pytest.raises(Exception) as exc:
         decode_media(m).collect()
-    assert "NotImplementedError" in str(exc.value) or isinstance(
-        exc.value, Py4JJavaError
-    )
+    assert "FRV1" in str(exc.value) or "ValueError" in str(exc.value)
