@@ -174,7 +174,14 @@ def read_ssv(
     boundaries are NaN separator rows and ids are assigned by split order
     (r-package/dv.R ``getTrajectoryIDs``/``tsplit`` — NaN rows are data
     delimiters, not points; cf. the bddm NaN drop,
-    detail/bddm/spatial_hash.hpp:219-229)."""
+    detail/bddm/spatial_hash.hpp:219-229). Ids come from a global prefix
+    count of separator rows, computed DISTRIBUTED as a two-level scan:
+    a partition-local running count (window partitioned by input split)
+    plus per-split offsets from a tiny #splits-row aggregate — no
+    single-task global window. Relies on the same file-order invariant
+    the point order already uses: within one input file, Spark's CSV
+    splits cover increasing byte ranges, so ordering by
+    ``monotonically_increasing_id`` equals file order."""
     raw = (
         spark.read.option("sep", " ")
         .option("header", "true")
@@ -183,14 +190,32 @@ def read_ssv(
         .withColumn("_file_pos", F.monotonically_increasing_id())
     )
     if nan_separated:
-        w = Window.orderBy("_file_pos")
         is_sep = F.isnan("x") | F.isnan("y")
-        numbered = raw.withColumn(
-            "traj_id",
-            F.sum(F.when(is_sep, 1).otherwise(0))
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("long"),
-        ).filter(~is_sep)
+        sep01 = F.when(is_sep, 1).otherwise(0)
+        raw = raw.withColumn("_split", F.spark_partition_id())
+        wp = (
+            Window.partitionBy("_split")
+            .orderBy("_file_pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        local = raw.withColumn("_local_cum", F.sum(sep01).over(wp))
+        totals = raw.groupBy("_split").agg(
+            F.sum(sep01).alias("_cnt"), F.min("_file_pos").alias("_ord")
+        )
+        # global window over #splits rows only (driver-scale, not data-scale)
+        wo = Window.orderBy("_ord").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.select(
+            "_split", F.coalesce(F.sum("_cnt").over(wo), F.lit(0)).alias("_off")
+        )
+        numbered = (
+            local.join(F.broadcast(offsets), "_split")
+            .withColumn(
+                "traj_id", (F.col("_local_cum") + F.col("_off")).cast("long")
+            )
+            .filter(~is_sep)
+        )
         return numbered.select(
             "traj_id",
             (

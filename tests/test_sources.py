@@ -194,3 +194,39 @@ def test_read_ssv_nan_separated(spark, tmp_path):
     )
     rows = sorted(map(tuple, read_ssv(spark, str(p), nan_separated=True).collect()))
     assert rows == [(0, 0, 1.0, 2.0), (0, 1, 3.0, 4.0), (1, 0, 5.0, 6.0)]
+
+
+def test_read_ssv_nan_separated_multi_split(spark, tmp_path):
+    """The NaN-split prefix count is a DISTRIBUTED two-level scan: force
+    the CSV read into many input splits (tiny maxPartitionBytes) and
+    assert ids/order equal the single-split read — trajectories spanning
+    split boundaries get the right global id."""
+    from frechetrange_spark.sources.trajectories import read_ssv
+
+    lines = ["x y id"]
+    # 40 trajectories of 25 points, NaN separators between them
+    for t in range(40):
+        for i in range(25):
+            lines.append(f"{t}.{i:02d} {t + i / 100.0} 0")
+        if t != 39:
+            lines.append("NaN NaN 0")
+    p = tmp_path / "nan_big.ssv"
+    p.write_text("\n".join(lines) + "\n")
+
+    want = sorted(
+        map(tuple, read_ssv(spark, str(p), nan_separated=True).collect())
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+        df = read_ssv(spark, str(p), nan_separated=True)
+        assert df.rdd.getNumPartitions() >= 1
+        got = sorted(map(tuple, df.collect()))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == want
+    assert len({r[0] for r in got}) == 40
+    # no giant single-task window: the only unpartitioned window in the
+    # plan runs over the per-split totals, not the point rows
+    plan = df._jdf.queryExecution().toString().lower()
+    assert "spark_partition_id" in plan and "_split" in plan
