@@ -192,6 +192,31 @@ def _q_cfdq_range_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_query_cfdq(index_df, queries, EPS, meta)
 
 
+def _q_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage funnel counts (stage, n_pairs, n_accepted) for the
+    flagship query — the filter-effectiveness canary: a regression in
+    F3/ETD/F4/F5/decider pruning shows up as count drift here before it
+    shows up as wall-clock. Rows-only check (stage verdicts come from the
+    float kernels); the match set's correctness is pinned by range_query
+    and the brute-force/N-version tests."""
+    curves = _persist(
+        enrich_with_simplifications(
+            _curves(spark, sf_dir), levels=2, fractions=(0.07, 0.6)
+        )
+    )
+    queries = curves.filter(F.col("traj_id") % QUERY_MOD == 0)
+    index_df, meta = build_grid_index(curves, MESH, corner="min_min")
+    stats = range_query_grid(index_df, queries, EPS, meta, funnel_stats=True)
+    return (
+        stats.groupBy("stage")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum(F.col("accepted").cast("long")).cast("long").alias("n_accepted"),
+        )
+        .select("stage", "n_pairs", "n_accepted")
+    )
+
+
 def _q_range_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GIS-Cup-style batch workload: EVERY trajectory is a query (range
     self-join at eps) — the compute-dominated flagship used for scaling
@@ -227,6 +252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_self_join": _q_range_self_join,  # exact decider: rows-only check
         "bb_range_query": _q_bb_range_query,  # exact decider: rows-only check
         "cfdq_range_query": _q_cfdq_range_query,  # K6+portals: rows-only check
+        "funnel_stats": _q_funnel_stats,  # stage counts: rows-only check
         "decide_udf": _q_decide_udf,  # float kernel UDFs: rows-only check
         # web-text pipeline
         "token_stats": lambda s, d: textql.token_stats(_docs(s, d)),

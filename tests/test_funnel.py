@@ -166,3 +166,27 @@ def test_funnel_stats_symmetric_mirror(spark, corpus):
     m = stats.filter("stage = 'mirror'")
     assert m.filter(~F.col("accepted")).count() == 0
     assert m.filter(F.col("query_id") == F.col("traj_id")).count() == 0
+
+
+def test_funnel_stats_entry_query_consistency(spark):
+    """The driver-facing funnel_stats entry aggregates the same rows the
+    funnel emits: accepted pair count across stages equals the
+    range_query entry's match count, and every stage's n_accepted is
+    consistent with its verdict kind (yes/accept stages fully accepted,
+    no-stages fully rejected)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    stats = {
+        r["stage"]: (r["n_pairs"], r["n_accepted"])
+        for r in e.queries()["funnel_stats"](spark, sf).collect()
+    }
+    spark.catalog.clearCache()
+    n_matches = e.queries()["range_query"](spark, sf).count()
+    spark.catalog.clearCache()
+    assert sum(acc for _, acc in stats.values()) == n_matches
+    for stage, (n, acc) in stats.items():
+        if stage.endswith(("_yes", "_accept")):
+            assert acc == n, stage
+        elif stage.endswith("_no"):
+            assert acc == 0, stage
