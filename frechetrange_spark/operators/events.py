@@ -51,8 +51,12 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     # microsecond fraction) — matches the oracle's epoch(ts), which is a
     # DOUBLE; unix_timestamp() would truncate to whole seconds and split
     # sessions differently for sub-second events near the gap boundary.
-    # TIMESTAMP_NTZ needs the hop via TIMESTAMP; any session-tz offset is a
-    # constant that cancels in the difference.
+    # TIMESTAMP_NTZ needs the hop via TIMESTAMP; the session-tz offset
+    # cancels in the difference ONLY because session.py pins
+    # spark.sql.session.timeZone=UTC (a fixed-offset zone). Under a DST
+    # timezone the NTZ->TIMESTAMP cast is not affine and gap math near a
+    # transition would split sessions differently from the epoch-based
+    # oracle — keep the UTC pin or cast via to_utc_timestamp instead.
     ts_sec = F.col("ts").cast("timestamp").cast("double")
     gap = ts_sec - F.lag(ts_sec).over(w)
     marked = events.withColumn(

@@ -1,7 +1,11 @@
 """kNN by Fréchet distance (north-rule extension; the reference has no
 top-k — SURVEY §2.5 O5).
 
-Exact single-pass algorithm (bound-and-prune, no driver iteration):
+Single-pass bound-and-prune algorithm (no driver iteration). Ranking is
+exact up to the distance kernel's 1e-6 *relative* bisection tolerance
+(the reference's own benchmark tolerance, benchmark/benchmark.py): two
+candidates whose true distances differ by less than ~2e-6 relative may
+swap ranks; every pruning step below is tolerance-free (sound bounds).
 
 1. **Scalar bound pass** — broadcast the query curves' scalar features
    (MBR + endpoints, ~10 doubles) against the dataset's: per pair compute
@@ -206,7 +210,19 @@ def _decide_radius_kernel(batches):
     from frechetrange_spark.kernels.batch import decide_pairs_arrow
 
     for rb in batches:
+        # Decide at radius*(1+1e-12), not at the radius itself: the radius
+        # is a k-th smallest ETD, i.e. sqrt(max d2), and eps*eps can round
+        # a few ulps below that d2 — the bare decider then rejects pairs
+        # whose true distance EQUALS the radius (translated duplicates:
+        # 119/2000 dropped at eps==ETD, 4/2000 at one ulp, 0 at 1e-12
+        # relative — pinned by test_radius_boundary_translated_duplicates).
+        # Widening keeps the prune sound AND consistent with the distance
+        # kernel: it shares this decider, so a NO at eps' > radius implies
+        # its bisection distance >= eps' > radius — never a true top-k
+        # member. Previously only the ETD pre-accept's bit-reproducibility
+        # rescued these pairs; now the decision itself is safe.
         radius = rb.column("radius").to_numpy(zero_copy_only=False)
+        radius = np.nextafter(radius * (1.0 + 1e-12), np.inf)
         keep = decide_pairs_arrow(
             rb.column("q_xs"),
             rb.column("q_ys"),

@@ -97,8 +97,11 @@ def encode_ppm(pixels: np.ndarray, width: int, height: int) -> bytes:
 
 
 def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """(width, height, flat uint8 pixels) from a binary PPM. Handles the
-    full header grammar: any whitespace between tokens and '#' comments."""
+    """(width, height, flat uint8 pixels) from a binary PPM. Header
+    grammar handled: any whitespace and '#' comments *between* tokens,
+    then exactly one whitespace byte after maxval before the raster (a
+    comment between maxval and the raster — legal but rare PPM — is NOT
+    supported and would corrupt the pixel offset)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     pos, tokens = 2, []

@@ -12,8 +12,10 @@ Every pipeline stage writes
 ``run_stage`` skips the build when a manifest with the same content key
 already exists (key = sha256 of stage name + params + parent keys), so a
 re-run of a partially-finished pipeline resumes from the last completed
-snapshot. ``partition_rows`` is the per-partition lineage record (input
-partition id -> row count) required by the north rule.
+snapshot. ``partition_rows`` is the per-partition lineage record
+(snapshot file -> row count, one entry per writer partition) required by
+the north rule; it is computed from the written snapshot with a
+zero-column scan, not by re-running the stage plan.
 """
 
 from __future__ import annotations
@@ -74,16 +76,21 @@ class CheckpointedPipeline:
 
         t0 = time.time()
         df = build_fn(self.spark)
-        # lineage: per-partition row counts of the stage output
+        df.write.mode("overwrite").parquet(data_path)
+        out = self.spark.read.parquet(data_path)
+        # Lineage: per-snapshot-file row counts, computed from the WRITTEN
+        # snapshot (one zero-column scan of the parquet we just produced),
+        # never by re-running build_fn's plan — the previous pid-groupBy
+        # computed the whole upstream twice, which at 100 TB doubles the
+        # stage cost. File names are the immutable lineage unit here (an
+        # output file == one writer partition), so the record also survives
+        # a reader-side coalesce.
         part_rows = {
-            str(r["pid"]): r["n"]
-            for r in df.withColumn("pid", F.spark_partition_id())
-            .groupBy("pid")
+            os.path.basename(r["f"]): r["n"]
+            for r in out.groupBy(F.input_file_name().alias("f"))
             .agg(F.count("*").alias("n"))
             .collect()
         }
-        df.write.mode("overwrite").parquet(data_path)
-        out = self.spark.read.parquet(data_path)
         manifest = {
             "key": key,
             "stage": stage,

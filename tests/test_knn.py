@@ -21,6 +21,60 @@ def corpus(spark):
     return c
 
 
+def test_radius_boundary_translated_duplicates():
+    """A pair whose true distance EQUALS the prune radius must survive
+    decide_radius_prune *without* relying on the ETD pre-accept.
+
+    Translated duplicates are the adversarial case: their Fréchet distance
+    is their own ETD, so when the k-th smallest ETD is the pair's ETD the
+    radius decision runs exactly at the boundary, where eps*eps =
+    sqrt(d2)^2 rounds below d2 (empirically 119/2000 false rejects with
+    the bare decider at eps==ETD, 4/2000 at one ulp). Pins the
+    1e-12-relative widening in _decide_radius_kernel so a future
+    etd_accept / chunk-layout change can't silently drop true top-k
+    members."""
+    import numpy as np
+    import pyarrow as pa
+
+    from frechetrange_spark.kernels.batch import decide_pairs_arrow, etd_batch
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    bx = np.cumsum(rng.normal(size=12))
+    by = np.cumsum(rng.normal(size=12))
+    P = np.broadcast_to(np.stack([bx, by], axis=1), (n, 12, 2)).copy()
+    shift = rng.normal(size=(n, 1, 2))
+    Q = P + shift
+    radius = etd_batch(P, Q)  # == the pair's true Fréchet distance
+
+    def col(a):
+        return pa.array([row.tolist() for row in a], pa.list_(pa.float64()))
+
+    args = (col(P[:, :, 0]), col(P[:, :, 1]), col(Q[:, :, 0]), col(Q[:, :, 1]))
+    # the exact widening _decide_radius_kernel applies, bare decider
+    widened = np.nextafter(radius * (1.0 + 1e-12), np.inf)
+    keep = decide_pairs_arrow(*args, widened, etd_accept=False)
+    assert keep.all(), f"{int((~keep).sum())}/{n} boundary pairs dropped"
+    # and the widening is sound: clearly-outside pairs still rejected
+    reject = decide_pairs_arrow(*args, radius * 0.999, etd_accept=False)
+    assert not reject.any()
+
+    # drive the actual kernel too (it applies the widening internally)
+    from frechetrange_spark.operators.knn import _decide_radius_kernel
+
+    rb = pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.arange(n)),
+            pa.array(np.arange(n)),
+            *args,
+            pa.array(radius),
+        ],
+        ["query_id", "traj_id", "q_xs", "q_ys", "xs", "ys", "radius"],
+    )
+    out = list(_decide_radius_kernel(iter([rb])))
+    assert sum(b.num_rows for b in out) == n
+
+
 def test_knn_exact(spark, corpus):
     queries = corpus.filter(F.col("traj_id") % 150 == 0)
     got = knn_frechet(corpus, queries, k=K, mesh=15.0, eps0=2.0).toPandas()
