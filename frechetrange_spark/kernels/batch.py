@@ -293,17 +293,26 @@ def etd_batch(p: np.ndarray, q: np.ndarray) -> np.ndarray:
     jq = np.clip(np.cumsum(~from_p, axis=1) - 1, 0, max(M - 2, 0))
 
     def sample(knots: np.ndarray, xy: np.ndarray, j: np.ndarray) -> np.ndarray:
+        j1 = np.minimum(j + 1, knots.shape[1] - 1)
         k0 = np.take_along_axis(knots, j, axis=1)
-        k1 = np.take_along_axis(knots, np.minimum(j + 1, knots.shape[1] - 1), axis=1)
+        k1 = np.take_along_axis(knots, j1, axis=1)
         den = k1 - k0
-        frac = np.divide(times - k0, den, out=np.zeros_like(times), where=den > 0.0)
-        frac = np.clip(frac, 0.0, 1.0)
+        # Full-speed SIMD divide + select: a `where=`-masked divide falls
+        # back to buffered iteration, and with padded curves ~half the
+        # knot gaps are exact ties (den == 0), making the masked path the
+        # kernel's warm-time hot spot. Dividing unconditionally (0/0 and
+        # x/0 suppressed) then selecting is ~4x faster at 50% ties.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = (times - k0) / den
+        frac = np.where(den > 0.0, frac, 0.0)
+        np.clip(frac, 0.0, 1.0, out=frac)
         out = np.empty((knots.shape[0], times.shape[1], 2))
         for d in range(2):
-            v0 = np.take_along_axis(xy[:, :, d], j, axis=1)
-            v1 = np.take_along_axis(
-                xy[:, :, d], np.minimum(j + 1, knots.shape[1] - 1), axis=1
-            )
+            # gather from a contiguous copy: xy[:, :, d] is a stride-2
+            # view and take_along_axis on it is markedly slower
+            coord = np.ascontiguousarray(xy[:, :, d])
+            v0 = np.take_along_axis(coord, j, axis=1)
+            v1 = np.take_along_axis(coord, j1, axis=1)
             out[:, :, d] = v0 + frac * (v1 - v0)
         return out
 
