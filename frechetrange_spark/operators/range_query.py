@@ -298,6 +298,7 @@ def range_query_grid(
     greedy_accept: bool = True,
     neg_reject: bool = False,
     funnel_stats: bool = False,
+    observations: dict | None = None,
 ) -> DataFrame:
     """Exact range query via the grid index: (query_id, traj_id) pairs with
     continuous Fréchet distance <= eps.
@@ -316,11 +317,26 @@ def range_query_grid(
     reject-heavy workloads). ``funnel_stats=True``
     returns per-candidate funnel rows (query_id, traj_id, stage, accepted)
     instead of match pairs — F3-accepted candidates appear with stage
-    'f3_accept'; filter the ``accepted`` column for the match set."""
+    'f3_accept'; filter the ``accepted`` column for the match set.
+
+    ``observations``: pass a dict to receive named ``pyspark.sql.
+    Observation`` objects ("f3_accepted", "refine_input", "matches") —
+    accumulator-backed per-stage row counts collected DURING the job, no
+    extra pass over any stage (each observe node sits on a
+    single-consumption branch, so counts are exact). Read ``obs.get``
+    after an action; the flagship pipeline persists them in the stage
+    manifest (north rule: per-partition lineage + metrics)."""
+    from pyspark.sql import Observation
+
     cand = grid_candidates(index_df, queries, eps, meta)
     accepted = cand.filter("accept_f3").select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
     )
+    if observations is not None and not funnel_stats:
+        observations["f3_accepted"] = Observation()
+        accepted = accepted.observe(
+            observations["f3_accepted"], F.count(F.lit(1)).alias("n")
+        )
     if funnel_stats:
         accepted = accepted.select(
             "query_id",
@@ -353,6 +369,11 @@ def range_query_grid(
     )
     if symmetric:
         to_refine = to_refine.filter(F.col("query_id") <= F.col("traj_id"))
+    if observations is not None and not funnel_stats:
+        observations["refine_input"] = Observation()
+        to_refine = to_refine.observe(
+            observations["refine_input"], F.count(F.lit(1)).alias("n")
+        )
     # Round-robin repartition before the Arrow kernel: the refine input is
     # small in BYTES but heavy in per-row CPU (free-space DP), so AQE's
     # byte-based coalescing would funnel it into one task. Explicit
@@ -369,7 +390,13 @@ def range_query_grid(
         ),
         schema=REFINE_STATS_SCHEMA if funnel_stats else "query_id long, traj_id long",
     )
-    return accepted.unionAll(refined)
+    result = accepted.unionAll(refined)
+    if observations is not None and not funnel_stats:
+        observations["matches"] = Observation()
+        result = result.observe(
+            observations["matches"], F.count(F.lit(1)).alias("n")
+        )
+    return result
 
 
 def _cfdq_refine_map(eps: float):

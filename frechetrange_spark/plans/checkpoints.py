@@ -63,8 +63,14 @@ class CheckpointedPipeline:
         params: dict | None = None,
         parents: list[str] | None = None,
         force: bool = False,
+        metrics_fn=None,
     ) -> DataFrame:
-        """Build-or-resume one stage. ``build_fn(spark) -> DataFrame``."""
+        """Build-or-resume one stage. ``build_fn(spark) -> DataFrame``.
+
+        ``metrics_fn() -> dict`` (optional) is called after the snapshot
+        write and its result is stored under ``metrics`` in the manifest —
+        use it to surface accumulator-backed Observation counts collected
+        during the write (zero extra passes)."""
         params = params or {}
         parent_keys = [self._keys[p] for p in (parents or []) if p in self._keys]
         key = _content_key(stage, params, parent_keys)
@@ -93,6 +99,7 @@ class CheckpointedPipeline:
         }
         manifest = {
             "key": key,
+            "metrics": metrics_fn() if metrics_fn is not None else {},
             "stage": stage,
             "params": {k: str(v) for k, v in params.items()},
             "parent_keys": parent_keys,

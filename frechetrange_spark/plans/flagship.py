@@ -66,6 +66,8 @@ def flagship_pipeline(
         parents=["curves"],
     )
 
+    obs: dict = {}
+
     def run_query(s: SparkSession) -> DataFrame:
         queries = index_df
         if query_mod is not None:
@@ -76,11 +78,19 @@ def flagship_pipeline(
             eps,
             {"mesh": mesh, "corner": "min_min"},
             funnel_stats=funnel_stats,
+            observations=obs,
         )
+
+    def stage_metrics() -> dict:
+        # accumulator-backed funnel counts collected during the snapshot
+        # write (Observation nodes on single-consumption branches — zero
+        # extra passes over any stage)
+        return {name: o.get.get("n") for name, o in obs.items()}
 
     return pipe.run_stage(
         "matches",
         run_query,
         params={"eps": eps, "query_mod": query_mod, "funnel_stats": funnel_stats},
         parents=["index"],
+        metrics_fn=stage_metrics,
     )

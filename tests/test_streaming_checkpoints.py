@@ -167,6 +167,16 @@ def test_flagship_pipeline_resumes_and_matches_direct(spark, tmp_path):
         with open(os.path.join(root, stage, "_manifest.json")) as f:
             assert json.load(f) == before[stage]
 
+    # observed funnel metrics: accumulator counts collected during the
+    # snapshot write (no extra pass) are in the matches manifest and are
+    # internally consistent with the snapshot itself
+    m = before["matches"]["metrics"]
+    assert set(m) == {"f3_accepted", "refine_input", "matches"}
+    assert m["matches"] == before["matches"]["n_rows"] == len(got)
+    assert m["f3_accepted"] <= m["matches"]
+    # every match is either F3-accepted or came out of the refine kernel
+    assert m["matches"] <= m["f3_accepted"] + m["refine_input"]
+
 
 def test_streamed_window_stats_equal_batch(spark, tmp_path):
     """The streaming twin of windowed_event_stats (complete-mode memory
