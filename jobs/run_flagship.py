@@ -45,6 +45,11 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+    # pre-fault the python-worker heaps before the kernel stages (no-op
+    # cost on bare metal; large win under virtualized kernels — SCALE.md)
+    from frechetrange_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
     matches = flagship_pipeline(
         spark,
         args.sf_dir,
