@@ -117,3 +117,13 @@ def test_trajectory_reconstruction_udf_free(spark):
     plan = _explain(trajectory_points(spark, SF_SMALL))
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_worker_warmup_runs_and_is_idempotent(spark):
+    """session.warm_python_workers (pre-faults worker heaps; bench.py and
+    the spark-submit job call it before timing) completes and is safe to
+    call repeatedly."""
+    from frechetrange_spark.session import warm_python_workers
+
+    warm_python_workers(spark, mb_per_task=16)
+    warm_python_workers(spark, mb_per_task=16)
