@@ -170,8 +170,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
 
 
 def _vid_n_frames(doc_id: int) -> int:
-    """2..4 frames per synthetic video (same contract as _img_pixels)."""
-    return 2 + doc_id % 3
+    """2..4 frames per synthetic video (same contract as _img_pixels).
+    Video rows all have doc_id % 3 == 2, so the varying term must NOT be
+    doc_id % 3 (that would be the constant 2 → always 4 frames); // 3
+    makes consecutive video docs cycle 2, 3, 4."""
+    return 2 + (doc_id // 3) % 3
 
 
 def _vid_pixels(doc_id: int, frame: int) -> np.ndarray:
@@ -285,6 +288,10 @@ def decode_media(media: DataFrame) -> DataFrame:
                     out["values"].append(smp.astype(np.int64))
                 else:
                     _, frames = decode_frv(b)
+                    if not frames:
+                        # keep the malformed-payload contract: every bad
+                        # media path raises ValueError, never IndexError
+                        raise ValueError("empty FRV1 container (0 frames)")
                     decoded = [decode_ppm(fr) for fr in frames]
                     w, h = decoded[0][0], decoded[0][1]
                     if any((fw, fh) != (w, h) for fw, fh, _ in decoded):
@@ -397,7 +404,7 @@ def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     Arrow-batched like every codec kernel here; this is the decode half
     of frame sampling (``frame_sample`` is the Catalyst-native scheduling
     half over metadata-only tables)."""
-    step_ms = int(every_ms)
+    step_ms = max(1, int(every_ms))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -407,8 +414,22 @@ def extract_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 interval_ms, frames = decode_frv(bytes(payload))
-                stride = max(1, step_ms // max(1, interval_ms))
-                for idx in range(0, len(frames), stride):
+                iv = max(1, interval_ms)
+                # schedule-aligned sampling, matching frame_sample's
+                # semantics: for each sampling tick k*every_ms, keep the
+                # FIRST frame at-or-after the tick (dedup'd). A naive
+                # floor-division stride over-samples whenever the frame
+                # interval does not divide every_ms (e.g. interval=600,
+                # every=1000 → stride floor(1000/600)=1 kept EVERY frame).
+                indices, k = [], 0
+                while True:
+                    idx = -(-(k * step_ms) // iv)  # ceil
+                    if idx >= len(frames):
+                        break
+                    if not indices or indices[-1] != idx:
+                        indices.append(idx)
+                    k += 1
+                for idx in indices:
                     w, h, px = decode_ppm(frames[idx])
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)

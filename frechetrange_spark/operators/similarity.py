@@ -105,6 +105,66 @@ def ann_topk_bruteforce(
 IVF_SEED = 20240202
 
 
+def _assign_cells(m_norm: np.ndarray, Cn: np.ndarray, n_assign: int) -> np.ndarray:
+    """(B, n_assign) nearest-centroid cells per normalized row (the IVF
+    multi-assign "spill") — single source for the in-memory kernel and
+    the partitioned writer."""
+    sim = m_norm @ Cn.T
+    if n_assign == 1:
+        return np.argmax(sim, axis=1)[:, None]
+    return np.argpartition(-sim, n_assign - 1, axis=1)[:, :n_assign]
+
+
+def _local_topk_frames(
+    qids: np.ndarray,
+    qm: np.ndarray,
+    base: np.ndarray,
+    vids: np.ndarray,
+    k: int,
+    mask_for,
+) -> pd.DataFrame:
+    """Per-query local top-k over one Arrow batch; ``mask_for(qi)`` gives
+    the boolean candidate mask. Shared by the in-memory and partitioned
+    IVF kernels so their selection semantics cannot diverge.
+
+    Duplicate vec_ids within the batch (multi-assign spill copies of the
+    same vector, which Spark's small-file coalescing routinely lands in
+    one batch) are collapsed BEFORE the k slots are filled — otherwise
+    two bit-identical copies of one vector could crowd a distinct true
+    neighbor out of the local top-k and the global dedup+window could
+    never get it back."""
+    out = []
+    for qi, qid in enumerate(qids):
+        mask = mask_for(qi) & (vids != qid)
+        cand_idx = np.nonzero(mask)[0]
+        if cand_idx.size == 0:
+            continue
+        first = np.unique(vids[cand_idx], return_index=True)[1]
+        if first.size < cand_idx.size:
+            cand_idx = cand_idx[first]
+        row = base[cand_idx] @ qm[qi]
+        take = min(k, cand_idx.size)
+        part = np.argpartition(-row, take - 1)[:take]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "vec_id": vids[cand_idx[part]],
+                    "cosine": row[part],
+                }
+            )
+        )
+    if not out:
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "vec_id": pd.Series(dtype="int64"),
+                "cosine": pd.Series(dtype="float64"),
+            }
+        )
+    return pd.concat(out)
+
+
 def _topk_window(local: DataFrame, k: int) -> DataFrame:
     """Global exact top-k per query from per-partition local top-k rows."""
     w = Window.partitionBy("query_id").orderBy(
@@ -236,33 +296,15 @@ def ann_topk_ivf(
                 continue
             base = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
             vids = pdf["vec_id"].to_numpy()
-            sim = base @ C.T
-            if n_assign == 1:
-                cells = np.argmax(sim, axis=1)[:, None]
-            else:
-                cells = np.argpartition(-sim, n_assign - 1, axis=1)[:, :n_assign]
-            out = []
-            for qi, qid in enumerate(qids):
-                mask = probe_mask[qi][cells].any(axis=1) & (vids != qid)
-                cand_idx = np.nonzero(mask)[0]
-                if cand_idx.size == 0:
-                    continue
-                row = base[cand_idx] @ qm[qi]
-                take = min(kk, cand_idx.size)
-                part = np.argpartition(-row, take - 1)[:take]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": vids[cand_idx[part]],
-                            "cosine": row[part],
-                        }
-                    )
-                )
-            yield pd.concat(out) if out else pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
+            # C is already unit rows (kmeans_centroids normalizes)
+            cells = _assign_cells(base, C, n_assign)
+            yield _local_topk_frames(
+                qids,
+                qm,
+                base,
+                vids,
+                kk,
+                lambda qi: probe_mask[qi][cells].any(axis=1),
             )
 
     local = emb.select("vec_id", "embedding").mapInPandas(
@@ -295,11 +337,7 @@ def ivf_write_partitioned(
             if len(pdf) == 0:
                 continue
             m = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
-            sim = m @ Cn.T
-            if n_assign == 1:
-                cells = np.argmax(sim, axis=1)[:, None]
-            else:
-                cells = np.argpartition(-sim, n_assign - 1, axis=1)[:, :n_assign]
+            cells = _assign_cells(m, Cn, n_assign)
             idx = np.repeat(np.arange(len(pdf)), n_assign)
             yield pd.DataFrame(
                 {
@@ -358,36 +396,17 @@ def ann_topk_ivf_partitioned(
             m = _normalize_rows(np.stack(pdf["embedding"].to_numpy()))
             vids = pdf["vec_id"].to_numpy()
             cells = pdf["ivf_cell"].to_numpy().astype(np.int64)
-            out = []
-            for qi, qid in enumerate(qids):
-                mask = probe_mask[qi][cells] & (vids != qid)
-                cand_idx = np.nonzero(mask)[0]
-                if cand_idx.size == 0:
-                    continue
-                row = m[cand_idx] @ qm[qi]
-                take = min(kk, cand_idx.size)
-                part = np.argpartition(-row, take - 1)[:take]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qid,
-                            "vec_id": vids[cand_idx[part]],
-                            "cosine": row[part],
-                        }
-                    )
-                )
-            yield pd.concat(out) if out else pd.DataFrame(
-                {"query_id": pd.Series(dtype="int64"),
-                 "vec_id": pd.Series(dtype="int64"),
-                 "cosine": pd.Series(dtype="float64")}
+            yield _local_topk_frames(
+                qids, qm, m, vids, kk, lambda qi: probe_mask[qi][cells]
             )
 
     pruned = base.filter(F.col("ivf_cell").isin(probed_cells))
     local = pruned.select("vec_id", "embedding", "ivf_cell").mapInPandas(
         kernel, schema="query_id long, vec_id long, cosine double"
     )
-    # a vector spilled into two probed cells scores twice (bit-identical
-    # cosine both times) — collapse before the global top-k window
+    # spill copies WITHIN a batch are collapsed in-kernel (see
+    # _local_topk_frames); copies split ACROSS batches score twice with
+    # bit-identical cosine — collapse before the global top-k window
     return _topk_window(local.dropDuplicates(["query_id", "vec_id"]), kk)
 
 

@@ -535,10 +535,10 @@ WITH img AS (
 ), vid AS (
   SELECT doc_id, 'video' AS media_type,
          CAST({IMG_W} AS BIGINT) AS width, CAST({IMG_H} AS BIGINT) AS height,
-         CAST((2 + doc_id % 3) * {n_img} AS BIGINT) AS n_values,
+         CAST((2 + (doc_id // 3) % 3) * {n_img} AS BIGINT) AS n_values,
          CAST(SUM((doc_id*7 + f*101 + i*13) % 256) AS BIGINT) AS value_sum
   FROM documents,
-       LATERAL (SELECT unnest(generate_series(0, 1 + doc_id % 3)) AS f) gf,
+       LATERAL (SELECT unnest(generate_series(0, 1 + (doc_id // 3) % 3)) AS f) gf,
        (SELECT unnest(generate_series(0, {n_img - 1})) AS i) g
   WHERE doc_id % 3 = 2
   GROUP BY doc_id
@@ -552,24 +552,27 @@ MEDIA_DECODE_SQL = _media_decode_sql()
 
 def _frame_decode_sql() -> str:
     """Mirrors extract_frames(synth_media_binary(docs), every_ms=1000):
-    FRV1 video rows (doc_id % 3 == 2) carry 2 + doc_id % 3 frames at
-    VID_INTERVAL_MS spacing; a 1000 ms sampling stride keeps every
-    (1000 // interval)-th frame, and each kept frame's pixel sum follows
-    the (doc_id, frame, index) generator formula."""
+    FRV1 video rows (doc_id % 3 == 2) carry 2 + (doc_id // 3) % 3 frames
+    at VID_INTERVAL_MS spacing; sampling is schedule-aligned — frame f is
+    kept iff it is the FIRST frame at-or-after some tick k*1000 ms, i.e.
+    iff an integer k lies in ((f-1)*interval/1000, f*interval/1000]
+    (f = 0 is always the k = 0 frame); each kept frame's pixel sum
+    follows the (doc_id, frame, index) generator formula."""
     from frechetrange_spark.operators.multimodal import IMG_H, IMG_W, VID_INTERVAL_MS
 
     n_img = IMG_W * IMG_H * 3
-    stride = max(1, 1000 // VID_INTERVAL_MS)
+    iv = VID_INTERVAL_MS
     return f"""
 SELECT doc_id,
        CAST(f AS BIGINT) AS frame_idx,
-       CAST(f * {VID_INTERVAL_MS} AS BIGINT) AS frame_ts_ms,
+       CAST(f * {iv} AS BIGINT) AS frame_ts_ms,
        CAST({IMG_W} AS BIGINT) AS width, CAST({IMG_H} AS BIGINT) AS height,
        CAST(SUM((doc_id*7 + f*101 + i*13) % 256) AS BIGINT) AS pix_sum
 FROM documents,
-     LATERAL (SELECT unnest(generate_series(0, 1 + doc_id % 3)) AS f) gf,
+     LATERAL (SELECT unnest(generate_series(0, 1 + (doc_id // 3) % 3)) AS f) gf,
      (SELECT unnest(generate_series(0, {n_img - 1})) AS i) g
-WHERE doc_id % 3 = 2 AND f % {stride} = 0
+WHERE doc_id % 3 = 2
+  AND (f = 0 OR (((f-1) * {iv}) // 1000 + 1) * 1000 <= f * {iv})
 GROUP BY doc_id, f
 """
 

@@ -33,6 +33,13 @@ finalized; each batch advances a per-user event-time frontier
 finalizes immediately; cross-batch stragglers are dropped instead of
 silently mis-folded). State stays bounded: the buffer only holds events
 within ``lateness_sec`` of the per-user max event time.
+
+Checkpoint compatibility: the lateness buffer widened STATE_SCHEMA from
+5 to 10 fields, so a streaming query checkpointed under the pre-buffer
+schema cannot restart against this version (Spark's state-store schema
+check rejects it). There is no migration path — discard the old
+checkpoint and replay, or re-derive state by running the batch
+``operators.events.sessionize`` up to the stream's resume point.
 """
 
 from __future__ import annotations

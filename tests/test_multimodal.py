@@ -215,3 +215,44 @@ def test_decode_media_rejects_invalid_video_container(spark, docs):
     with pytest.raises(Exception) as exc:
         decode_media(m).collect()
     assert "FRV1" in str(exc.value) or "ValueError" in str(exc.value)
+
+
+def test_extract_frames_schedule_aligned_at_non_divisible_interval(spark):
+    """Sampling must match frame_sample's schedule semantics (first frame
+    at-or-after each k*every_ms tick), not a floor-division stride: with
+    interval=600 and every_ms=1000 the kept indices are ceil(k*1000/600)
+    = 0, 2, 4, 5, 7 — a naive stride of floor(1000/600)=1 kept EVERY
+    frame (1.67x over-sampling)."""
+    from frechetrange_spark.operators.multimodal import (
+        _vid_pixels,
+        encode_frv,
+        encode_ppm,
+        extract_frames,
+    )
+
+    frames = [
+        encode_ppm(_vid_pixels(7, f), IMG_W, IMG_H) for f in range(8)
+    ]
+    payload = encode_frv(frames, interval_ms=600)
+    media = spark.createDataFrame(
+        [(7, "video", bytearray(payload))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = extract_frames(media, every_ms=1000).collect()
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2, 4, 5, 7]
+    for r in rows:
+        assert r["frame_ts_ms"] == r["frame_idx"] * 600
+
+
+def test_decode_media_rejects_empty_frv_container(spark):
+    """A zero-frame FRV1 container raises ValueError (the same contract
+    as every other malformed-payload path), not IndexError."""
+    from frechetrange_spark.operators.multimodal import encode_frv
+
+    media = spark.createDataFrame(
+        [(2, "video", bytearray(encode_frv([])))],
+        "doc_id long, media_type string, payload binary",
+    )
+    with pytest.raises(Exception) as exc:
+        decode_media(media).collect()
+    assert "empty FRV1" in str(exc.value)

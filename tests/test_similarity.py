@@ -232,3 +232,52 @@ def test_ivf_partitioned_layout_prunes_files_and_matches(spark, emb, tmp_path):
     assert (got["query_id"].values == want["query_id"].values).all()
     assert (got["vec_id"].values == want["vec_id"].values).all()
     assert np.allclose(got["cosine"].values, want["cosine"].values, atol=1e-12)
+
+
+def test_ivf_partitioned_dedups_spill_copies_within_batch(spark, tmp_path):
+    """Spill copies of ONE vector coalesced into one Arrow batch must not
+    crowd a distinct true neighbor out of the k local top-k slots.
+
+    Adversarial layout: 2 cells, n_assign=2 — every vector lands in BOTH
+    cell directories, and Spark's small-file coalescing reads them in one
+    batch. Before the in-kernel dedup (_local_topk_frames), the k slots
+    filled up with bit-identical copies and the global dropDuplicates
+    could never recover the dropped distinct neighbor."""
+    from frechetrange_spark.operators.similarity import (
+        ann_topk_ivf_partitioned,
+        ivf_write_partitioned,
+    )
+
+    # vec 0 = the query (vec_id % 50 == 0); cosine order: A(1) > B(2) > C(3)
+    rows = [
+        (0, [1.0, 0.5]),
+        (1, [0.7071, 0.7071]),  # A
+        (2, [1.0, 0.0]),        # B
+        (3, [0.0, 1.0]),        # C
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = np.array([[1.0, 0.0], [0.0, 1.0]])
+    path = str(tmp_path / "ivf_dup")
+    ivf_write_partitioned(emb, path, n_cells=2, n_assign=2, centroids=centroids)
+
+    # Force the small cell files into ONE scan partition (one Arrow
+    # batch) — at local[32] tiny files get one partition each, which is
+    # exactly why the bug never fired at test scale; at 100 TB the scan
+    # packs ~128MB of spill files per partition and it does.
+    prev = spark.conf.get("spark.sql.files.minPartitionNum", None)
+    spark.conf.set("spark.sql.files.minPartitionNum", "1")
+    try:
+        got = (
+            ann_topk_ivf_partitioned(
+                spark, path, centroids, k=2, query_mod=50, n_probe=2
+            )
+            .orderBy("rank")
+            .toPandas()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.minPartitionNum")
+        else:
+            spark.conf.set("spark.sql.files.minPartitionNum", prev)
+    assert list(got["vec_id"]) == [1, 2]
+    assert list(got["rank"]) == [1, 2]
