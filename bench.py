@@ -69,6 +69,24 @@ def _spark(n: int):
     return spark
 
 
+def _calib_probe() -> float:
+    """Same-process quota probe: one CPUS-way pool of the single-threaded
+    FLOP workload, reported as units/s. Runs once per suite round so every
+    BENCH snapshot self-identifies its quota window — a throttled round
+    shows a proportionally depressed probe, so a slow round can never be
+    misread as an engine regression (round-3 lesson: the driver's two
+    back-to-back trials both landed in one throttled window and
+    misreported a healthy engine as 2x slower)."""
+    import multiprocessing as mp
+
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    with mp.Pool(CPUS) as pool:
+        t0 = time.perf_counter()
+        pool.map(_flop_work, range(CPUS))
+        return round(CPUS / (time.perf_counter() - t0), 2)
+
+
 def run_bench() -> dict:
     import __spark_entry__ as entry_mod
 
@@ -94,30 +112,33 @@ def run_bench() -> dict:
         "tile_pyramid",
         "point_in_polygon",
     ]
-    # Best-of-N trials per query: the sandbox's CPU quota drifts on
-    # minute timescales and external slowdowns only ever INFLATE a trial,
-    # so the minimum estimates machine-unconstrained time (same protocol
-    # as the --scaling mode). The engine itself is deterministic.
-    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
-    timings: dict[str, float] = {}
-    all_trials: dict[str, list[float]] = {}
+    # Interleaved suite-level rounds (the --scaling protocol): loop the
+    # WHOLE query list N times and take each query's min across rounds.
+    # The sandbox's CPU quota drifts on minute timescales, so back-to-back
+    # trials of one query are correlated — a single throttled window used
+    # to defeat best-of-2 (BENCH_r03 false alarm). Rounds are minutes
+    # apart per query, decorrelating the draws; external slowdowns only
+    # ever INFLATE a trial, so the minimum estimates machine-unconstrained
+    # time. The engine itself is deterministic.
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
+    all_trials: dict[str, list[float]] = {name: [] for name in headline}
+    calib_rounds: list[float] = []
     # One untimed pass of the heaviest kernel query: faults the JVM heap
     # and the full worker footprint once, so the timed trials below
     # measure the engine rather than the sandbox's first-touch page-fault
     # storm (see session.warm_python_workers). Declared in the protocol.
     _materialize(qs["range_self_join"](spark, SF_DIR))
     spark.catalog.clearCache()
-    for name in headline:
-        per = []
-        for _ in range(trials):
+    for _ in range(trials):
+        calib_rounds.append(_calib_probe())
+        for name in headline:
             t0 = time.perf_counter()
             _materialize(qs[name](spark, SF_DIR))
-            per.append(round(time.perf_counter() - t0, 3))
+            all_trials[name].append(round(time.perf_counter() - t0, 3))
             # release caches persisted inside the query builders so later
             # trials/queries aren't taxed by earlier memory footprint
             spark.catalog.clearCache()
-        timings[name] = min(per)
-        all_trials[name] = per
+    timings = {name: min(per) for name, per in all_trials.items()}
 
     n_queries = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -134,12 +155,19 @@ def run_bench() -> dict:
         # used, so single snapshots can't be misread against best-of-N
         # numbers (sandbox CPU quota drifts minute-to-minute; external
         # slowdowns only inflate a trial, so min estimates unconstrained
-        # machine time)
+        # machine time). Trials run in interleaved SUITE rounds (not
+        # back-to-back per query) and each round embeds a same-process
+        # CPU-quota probe: a round whose calib_flop_per_round is
+        # depressed vs its siblings was throttled by the sandbox, not
+        # slowed by the engine.
         "protocol": {
             "trials_per_query": trials,
             "aggregate": "min",
+            "ordering": "interleaved_suite_rounds",
             "warmup": ["jvm", "python_workers", "range_self_join_untimed"],
+            "calib_workload": f"{CPUS}-way pool of single-thread 600x600 matmuls",
         },
+        "calib_flop_per_round": calib_rounds,
         "query_trials": all_trials,
         "sf": _sf_of(SF_DIR),
         "parallelism": CPUS,
@@ -349,8 +377,24 @@ def run_scaling() -> None:
             (results[hi]["qps"] / results[lo]["qps"]) / (hi / lo), 3
         )
 
+    def eff_per_round(lo: int, hi: int) -> list[float]:
+        """Efficiency computed WITHIN each interleaved round, so both
+        levels of each ratio share one quota window — robust to drift
+        (best-of pairing can marry a lucky hi window to an unlucky lo
+        window from a different throttling regime)."""
+        return [
+            round((r[hi]["qps"] / r[lo]["qps"]) / (hi / lo), 3) for r in rounds
+        ]
+
+    def median(vals: list[float]) -> float:
+        s = sorted(vals)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
     e_2_8 = eff(2, 8)
     e_8_32 = eff(8, 32)
+    e_2_8_rounds = eff_per_round(2, 8)
+    e_8_32_rounds = eff_per_round(8, 32)
     hw_flop_8_32 = round((calib["flop"][32] / calib["flop"][8]) / 4.0, 3)
     hw_flop_2_8 = round((calib["flop"][8] / calib["flop"][2]) / 4.0, 3)
 
@@ -403,8 +447,14 @@ def run_scaling() -> None:
         f" over the same range, so the engine runs at {rel_2_8}x the"
         " machine's own ceiling: the residual is CPU-quota throttling,"
         " not engine serialization",
+        f"- per-round (within-window) 2->8 efficiency: median "
+        f"**{median(e_2_8_rounds)}**, rounds {e_2_8_rounds} — each round"
+        " compares levels measured minutes apart inside ONE interleaved"
+        " pass, so this figure is robust to the best-of pairing marrying"
+        " a lucky local[8] window to an unlucky local[2] window",
         f"- 8 -> 32 (supplementary, hardware-capped at ~{hw_flop_8_32}): "
-        f"efficiency {e_8_32} ({results[8]['qps']} -> {results[32]['qps']} q/s)",
+        f"efficiency {e_8_32} ({results[8]['qps']} -> {results[32]['qps']} q/s);"
+        f" per-round median {median(e_8_32_rounds)}, rounds {e_8_32_rounds}",
         "",
         "Efficiency = (qps_4N / qps_N) / 4. North-rule target: >= 0.8.",
         "The quota drifts minute-to-minute (per-level round spreads up to",
@@ -438,6 +488,9 @@ def run_scaling() -> None:
             {
                 "eff_2_to_8": e_2_8,
                 "eff_8_to_32": e_8_32,
+                "eff_2_to_8_per_round": e_2_8_rounds,
+                "eff_2_to_8_median": median(e_2_8_rounds),
+                "eff_8_to_32_per_round": e_8_32_rounds,
                 "hw_ceiling_8_to_32": hw_flop_8_32,
                 "rows": results,
             }
@@ -449,7 +502,9 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--real-corpus" in sys.argv:
-        print(json.dumps(run_real_corpus()))
+        i = sys.argv.index("--real-corpus")
+        has_n = i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit()
+        print(json.dumps(run_real_corpus(int(sys.argv[i + 1]) if has_n else CPUS)))
     elif "--calibrate" in sys.argv:
         print(json.dumps(run_calibrate()))
     elif "--flagship" in sys.argv:

@@ -70,7 +70,7 @@ def get_spark(
     return spark
 
 
-def warm_python_workers(spark: SparkSession, mb_per_task: int = 256) -> None:
+def warm_python_workers(spark: SparkSession, mb_per_task: int | None = None) -> None:
     """Pre-fault the python workers' allocation heaps — the worker-side
     analogue of JVM warmup.
 
@@ -82,7 +82,18 @@ def warm_python_workers(spark: SparkSession, mb_per_task: int = 256) -> None:
     kernel call in that worker allocates from already-faulted memory.
     One task per slot, launched simultaneously, reaches every pooled
     worker. Safe to call more than once (later calls find warm heaps and
-    return fast)."""
+    return fast).
+
+    RETAINED-RSS COST: because MALLOC_TRIM_THRESHOLD_ deliberately keeps
+    the freed pages mapped, each python worker retains ~``mb_per_task``
+    MB of RSS for its lifetime (~8 GB total at 256 MB x 32 slots). On
+    memory-tight executors set ``SPARK_GRAFT_WARM_MB`` lower (the
+    default; 0 disables the warmup entirely) — the first kernel batches
+    then pay the fault cost instead."""
+    if mb_per_task is None:
+        mb_per_task = int(os.environ.get("SPARK_GRAFT_WARM_MB", "256"))
+    if mb_per_task <= 0:
+        return
     n = spark.sparkContext.defaultParallelism
 
     def gen(batches):

@@ -33,22 +33,33 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    import os
+
     from pyspark.sql import SparkSession
 
     from frechetrange_spark.plans.flagship import flagship_pipeline
+    from frechetrange_spark.session import _MALLOC_ENV, warm_python_workers
 
-    spark = (
+    # Export the glibc malloc tunables BEFORE the JVM launches (the local
+    # python workers inherit this process's env) and carry them to real
+    # cluster executors via spark.executorEnv.* — without
+    # MALLOC_TRIM_THRESHOLD_ the pages warm_python_workers pre-faults are
+    # munmapped on free and the warmup below is ineffective. No .master()
+    # call: spark-submit's --master governs.
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
+    builder = (
         SparkSession.builder.appName("frechetrange-flagship")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    for k, v in _MALLOC_ENV.items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
+    spark = builder.getOrCreate()
     # pre-fault the python-worker heaps before the kernel stages (no-op
     # cost on bare metal; large win under virtualized kernels — SCALE.md)
-    from frechetrange_spark.session import warm_python_workers
-
     warm_python_workers(spark)
     matches = flagship_pipeline(
         spark,
