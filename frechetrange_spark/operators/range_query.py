@@ -37,10 +37,12 @@ _CORNERS = {
 }
 
 
-def choose_corner(curves: DataFrame, mesh: float) -> str:
-    """A4/A5: pick the MBR corner minimizing Σ(bucket size²) over cells
-    (grid.hpp:334, 394-397, 410-432). One aggregate job over an exploded
-    4-variant column; the decision is a 4-row driver-side argmin."""
+def corner_costs(curves: DataFrame, mesh: float) -> DataFrame:
+    """A4: the Σ(bucket size²) cell-crowding statistic per candidate MBR
+    corner (grid.hpp:334, 394-397, 410-432) — one aggregate job over an
+    exploded 4-variant column. Returns (corner, cost) with cost = the sum
+    over occupied cells of count² for that corner's home-cell assignment;
+    ``choose_corner`` is the 4-row argmin over this."""
     variants = F.array(
         *[
             F.struct(
@@ -51,29 +53,87 @@ def choose_corner(curves: DataFrame, mesh: float) -> str:
             for name, (cx, cy) in _CORNERS.items()
         ]
     )
-    counts = (
+    return (
         curves.select(F.explode(variants).alias("v"))
         .groupBy("v.corner", "v.cx", "v.cy")
         .agg(F.count("*").alias("cnt"))
         .groupBy("corner")
-        .agg(F.sum(F.col("cnt") * F.col("cnt")).alias("cost"))
-        .orderBy("cost", "corner")
-        .collect()
+        .agg(F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("cost"))
     )
+
+
+def choose_corner(curves: DataFrame, mesh: float) -> str:
+    """A5: pick the MBR corner minimizing the Σ bucket² statistic
+    (grid.hpp:410-432); ties break on corner name like the oracle sort."""
+    counts = corner_costs(curves, mesh).orderBy("cost", "corner").collect()
     return counts[0]["corner"]
 
 
-def build_grid_index(curves: DataFrame, mesh: float, corner: str | None = None):
+def choose_salt(
+    index_df: DataFrame,
+    parallelism: int,
+    min_hot_rows: int = 1000,
+    trigger: float = 4.0,
+    cap: int = 16,
+) -> int | None:
+    """Data-driven hot-cell salt selection (SURVEY J1 skew handling).
+
+    The quantity that breaks an unsalted cell equi-join is FAN-OUT skew:
+    one shuffle partition owns the hottest cell and must produce ~top²
+    candidate pairs (self-join shape) while a balanced partition produces
+    Σcnt²/parallelism — AQE cannot split it because the hot cell is small
+    in BYTES (scripts/bench_skew.py). Σcnt² is the same A4 statistic the
+    corner argmin uses. Salt when the hot cell's pair share exceeds
+    ``trigger`` balanced partitions AND is big enough in absolute terms
+    (top >= min_hot_rows, i.e. >= 1M pairs) that the salted plan's extra
+    query-side duplication pays for itself; salt ~ the imbalance ratio,
+    capped (each salt step duplicates the exploded query rows once).
+    Returns None on uniform corpora — the plan is then byte-identical to
+    the unsalted one."""
+    row = (
+        index_df.groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("cnt"))
+        .agg(
+            F.max("cnt").alias("top"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+        )
+        .collect()[0]
+    )
+    top = int(row["top"] or 0)
+    sumsq = float(row["sumsq"] or 0.0)
+    if top < min_hot_rows or sumsq <= 0.0:
+        return None
+    ratio = (top * top) / (sumsq / max(int(parallelism), 1))
+    if ratio < trigger:
+        return None
+    return int(min(cap, max(2, round(ratio))))
+
+
+def build_grid_index(
+    curves: DataFrame,
+    mesh: float,
+    corner: str | None = None,
+    auto_salt: bool = True,
+):
     """Attach the home-cell columns for the chosen corner. Returns
-    (index_df, meta). At scale, write ``index_df`` partitioned/bucketed by
-    (cell_x, cell_y) so the query join prunes partitions."""
+    (index_df, meta); meta carries mesh, corner, and — when ``auto_salt``
+    — a data-driven ``salt`` that ``grid_candidates`` applies by default,
+    so hot-cell corpora get the skew split without any manual flag
+    (None on uniform corpora: plan unchanged). At scale, write
+    ``index_df`` partitioned/bucketed by (cell_x, cell_y) so the query
+    join prunes partitions (sources/index_table.py persists meta too)."""
     if corner is None:
         corner = choose_corner(curves, mesh)
     cx_col, cy_col = _CORNERS[corner]
     index_df = curves.withColumn(
         "cell_x", cell_coord(F.col(cx_col), mesh)
     ).withColumn("cell_y", cell_coord(F.col(cy_col), mesh))
-    return index_df, {"mesh": float(mesh), "corner": corner}
+    meta: dict = {"mesh": float(mesh), "corner": corner, "salt": None}
+    if auto_salt:
+        meta["salt"] = choose_salt(
+            index_df, index_df.sparkSession.sparkContext.defaultParallelism
+        )
+    return index_df, meta
 
 
 def _q(cols: DataFrame, prefix: str) -> DataFrame:
@@ -90,14 +150,19 @@ def grid_candidates(
     """J1 equi-join + native F1/F2 predicates. Returns candidate pairs with
     both curves' arrays and an ``accept_f3`` flag (F3 positive filter).
 
-    ``salt``: explicit hot-cell skew handling for sort-merge joins at
-    cluster scale (urban corpora concentrate curves in few cells). The
-    dataset side adds ``pmod(hash(traj_id), salt)`` to the join key; the
-    query side explodes all ``salt`` values, so every (query, curve) pair
+    ``salt``: hot-cell skew handling for sort-merge joins at cluster
+    scale (urban corpora concentrate curves in few cells). The dataset
+    side adds ``pmod(hash(traj_id), salt)`` to the join key; the query
+    side explodes all ``salt`` values, so every (query, curve) pair
     still meets exactly once while a hot cell's rows spread over ``salt``
-    shuffle partitions. Leave ``None`` when the query side broadcasts
-    (no shuffle, no skew)."""
+    shuffle partitions. ``None`` (the default) defers to the data-driven
+    ``meta['salt']`` chosen at index-build time from the cell histogram
+    (see ``choose_salt``) — the urban-skew split needs no manual flag;
+    pass ``0``/``1`` to force the unsalted plan (e.g. when the query
+    side broadcasts: no shuffle, no skew)."""
     mesh, corner = meta["mesh"], meta["corner"]
+    if salt is None:
+        salt = meta.get("salt")
     cx_col, cy_col = _CORNERS[corner]
     qexp = explode_neighbor_cells(
         _q(queries, "q_"), f"q_{cx_col}", f"q_{cy_col}", mesh, eps

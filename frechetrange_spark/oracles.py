@@ -102,6 +102,66 @@ WHERE abs(qc.min_x - d.min_x) <= 15.0 AND abs(qc.max_x - d.max_x) <= 15.0
       + (qc.y_last - d.y_last)*(qc.y_last - d.y_last) <= 225.0
 """
 
+# A4/A5: the Σ(bucket size²) cell-crowding cost per candidate MBR corner
+# (grid.hpp:334, 394-397, 410-432) — the statistic choose_corner argmins
+# over; mesh = 15.
+GRID_CORNER_SQL = f"""
+WITH feats AS ({CURVE_FEATURES_SQL}),
+assigned AS (
+  SELECT 'min_min' AS corner,
+         CAST(floor(min_x/15.0) AS BIGINT) AS cx,
+         CAST(floor(min_y/15.0) AS BIGINT) AS cy FROM feats
+  UNION ALL
+  SELECT 'min_max', CAST(floor(min_x/15.0) AS BIGINT),
+         CAST(floor(max_y/15.0) AS BIGINT) FROM feats
+  UNION ALL
+  SELECT 'max_min', CAST(floor(max_x/15.0) AS BIGINT),
+         CAST(floor(min_y/15.0) AS BIGINT) FROM feats
+  UNION ALL
+  SELECT 'max_max', CAST(floor(max_x/15.0) AS BIGINT),
+         CAST(floor(max_y/15.0) AS BIGINT) FROM feats
+),
+cells AS (
+  SELECT corner, cx, cy, COUNT(*) AS cnt FROM assigned GROUP BY corner, cx, cy
+)
+SELECT corner, CAST(SUM(cnt*cnt) AS BIGINT) AS cost FROM cells GROUP BY corner
+"""
+
+# J1 candidates with eps(=30) > mesh(=15): radius-2 (5x5) neighbor stencil
+# with the crossing predicate — the documented deviation from the
+# reference's throw at eps > mesh (grid.hpp:125-127); F1/F2 at eps = 30.
+GRID_CANDIDATES_WIDE_SQL = f"""
+WITH feats AS ({CURVE_FEATURES_SQL}),
+q AS (SELECT * FROM feats WHERE traj_id % 50 = 0),
+offs AS (SELECT dxo.o AS dx, dyo.o AS dy
+         FROM (SELECT unnest(generate_series(-2, 2)) AS o) dxo,
+              (SELECT unnest(generate_series(-2, 2)) AS o) dyo),
+qcells AS (
+  SELECT q.*,
+         CAST(floor(q.min_x/15.0) AS BIGINT) + offs.dx AS cell_x,
+         CAST(floor(q.min_y/15.0) AS BIGINT) + offs.dy AS cell_y
+  FROM q, offs
+  WHERE q.min_x - 30.0 < (floor(q.min_x/15.0) + offs.dx + 1) * 15.0
+    AND q.min_x + 30.0 >= (floor(q.min_x/15.0) + offs.dx) * 15.0
+    AND q.min_y - 30.0 < (floor(q.min_y/15.0) + offs.dy + 1) * 15.0
+    AND q.min_y + 30.0 >= (floor(q.min_y/15.0) + offs.dy) * 15.0
+),
+d AS (
+  SELECT feats.*,
+         CAST(floor(min_x/15.0) AS BIGINT) AS cell_x,
+         CAST(floor(min_y/15.0) AS BIGINT) AS cell_y
+  FROM feats
+)
+SELECT qc.traj_id AS query_id, d.traj_id AS traj_id
+FROM qcells qc JOIN d ON qc.cell_x = d.cell_x AND qc.cell_y = d.cell_y
+WHERE abs(qc.min_x - d.min_x) <= 30.0 AND abs(qc.max_x - d.max_x) <= 30.0
+  AND abs(qc.min_y - d.min_y) <= 30.0 AND abs(qc.max_y - d.max_y) <= 30.0
+  AND (qc.x_first - d.x_first)*(qc.x_first - d.x_first)
+      + (qc.y_first - d.y_first)*(qc.y_first - d.y_first) <= 900.0
+  AND (qc.x_last - d.x_last)*(qc.x_last - d.x_last)
+      + (qc.y_last - d.y_last)*(qc.y_last - d.y_last) <= 900.0
+"""
+
 # J3 di-hash-style endpoint candidates: start AND end strictly within eps
 # (bddm/spatial_hash.hpp:470-494, strict < per :484-486); eps = 15,
 # queries = traj_id % 50 == 0.

@@ -51,7 +51,9 @@ def write_index(index_df: DataFrame, path: str, meta: dict) -> None:
     )
     tmp = os.path.join(path, "_meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"mesh": meta["mesh"], "corner": meta["corner"]}, f)
+        # the whole meta dict: mesh + corner plus the data-driven salt
+        # (choose_salt) and any future build-time statistics ride along
+        json.dump({"salt": None, **meta}, f)
     os.replace(tmp, os.path.join(path, "_meta.json"))
 
 

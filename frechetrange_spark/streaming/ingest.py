@@ -38,7 +38,9 @@ def start_index_ingest(
         if batch_df.isEmpty():
             return
         curves = assemble_curves(points_from_text(batch_df))
-        idx, _ = build_grid_index(curves, mesh, corner=corner)
+        # auto_salt off: the skew statistic belongs to the WHOLE table,
+        # not one micro-batch — compute it query-side over the full index
+        idx, _ = build_grid_index(curves, mesh, corner=corner, auto_salt=False)
         idx.write.mode("append").parquet(index_path)
 
     stream = spark.readStream.schema(DOCS_SCHEMA).parquet(input_dir)

@@ -153,9 +153,13 @@ def main() -> None:
             best = min(best, time.time() - t0)
         return best, cnt
 
-    t_plain, n_plain = run(None)
-    t_salted, n_salted = run(args.salt)
-    assert n_plain == n_salted, "salting changed the candidate set"
+    # salt=1 forces the unsalted plan; salt=None is the DEFAULT path,
+    # which applies the data-driven meta['salt'] chosen by choose_salt at
+    # index-build time — no manual flag; args.salt is the manual baseline
+    t_plain, n_plain = run(1)
+    t_auto, n_auto = run(None)
+    t_manual, n_manual = run(args.salt)
+    assert n_plain == n_auto == n_manual, "salting changed the candidate set"
 
     print(json.dumps({
         "mode": "skew_join",
@@ -166,9 +170,12 @@ def main() -> None:
         "top_cell_sizes": top_cells,
         "candidates": n_plain,
         "unsalted_sec": round(t_plain, 3),
-        "salted_sec": round(t_salted, 3),
-        "salt": args.salt,
-        "speedup": round(t_plain / t_salted, 2),
+        "auto_salt": meta.get("salt"),
+        "auto_salted_sec": round(t_auto, 3),
+        "auto_speedup": round(t_plain / t_auto, 2),
+        "manual_salt": args.salt,
+        "manual_salted_sec": round(t_manual, 3),
+        "manual_speedup": round(t_plain / t_manual, 2),
     }))
     spark.stop()
 

@@ -65,3 +65,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"query_id", "traj_id"}
+
+
+def test_graded_range_query_snapshot_parity(spark, tmp_path, monkeypatch):
+    """The graded range_query reads a PERSISTED enriched index (built once
+    via sources.index_table — the reference's build/query split). Its
+    result must equal brute force, and a second call (pure read, no
+    rebuild) must reproduce it."""
+    from pyspark.sql import functions as F
+
+    from frechetrange_spark.operators.range_query import range_query_bruteforce
+    from frechetrange_spark.sources.trajectories import curves as load_curves
+
+    monkeypatch.setattr(entrymod, "SNAPSHOT_ROOT", str(tmp_path))
+    got = set(map(tuple, entrymod._q_range_query(spark, SF_SMALL).collect()))
+    corpus = load_curves(spark, SF_SMALL).persist()
+    queries = corpus.filter(F.col("traj_id") % entrymod.QUERY_MOD == 0)
+    truth = set(
+        map(tuple, range_query_bruteforce(corpus, queries, entrymod.EPS).collect())
+    )
+    assert got == truth
+    # marker exists -> the second call must hit the snapshot, not rebuild
+    import os
+
+    marker = os.path.join(
+        str(tmp_path), "index_sf0.001_funnel", "_meta.json"
+    )
+    assert os.path.exists(marker)
+    before = os.path.getmtime(marker)
+    got2 = set(map(tuple, entrymod._q_range_query(spark, SF_SMALL).collect()))
+    assert got2 == truth
+    assert os.path.getmtime(marker) == before
+    corpus.unpersist()

@@ -99,6 +99,46 @@ def test_salted_candidates_identical(spark):
         )
     )
     assert salted == plain
+    # the auto path: a meta-carried salt (as choose_salt would set on a
+    # skewed corpus) is applied by default and changes nothing but the plan
+    auto = set(
+        map(
+            tuple,
+            grid_candidates(idx, queries, 15.0, {**meta, "salt": 4})
+            .select("q_traj_id", "traj_id")
+            .collect(),
+        )
+    )
+    assert auto == plain
+
+
+def test_auto_salt_heuristic(spark, corpus):
+    """choose_salt fires on fan-out skew (one hot cell holding most rows)
+    and stays silent on uniform corpora — so the graded/default path gets
+    the urban-skew split with no manual flag (SURVEY §4 skew row)."""
+    from pyspark.sql import functions as F
+
+    from frechetrange_spark.operators.range_query import choose_salt
+
+    # uniform: 4000 rows over 100 cells, every cell small -> no salt
+    uni = spark.range(4000).select(
+        (F.col("id") % 10).alias("cell_x"),
+        F.floor(F.col("id") / 400).cast("long").alias("cell_y"),
+    )
+    assert choose_salt(uni, 32) is None
+    # hot: 80% of 4000 rows in ONE cell -> salted, clamped to [2, 16]
+    hot = spark.range(4000).select(
+        F.when(F.col("id") % 10 < 8, F.lit(0))
+        .otherwise(F.col("id") % 100 + 1)
+        .cast("long")
+        .alias("cell_x"),
+        F.lit(0).cast("long").alias("cell_y"),
+    )
+    s = choose_salt(hot, 32)
+    assert s is not None and 2 <= s <= 16
+    # real uniform corpus: build_grid_index's default auto_salt stays None
+    _, meta = build_grid_index(corpus, 15.0, corner="min_min")
+    assert meta["salt"] is None
 
 
 def test_eps_exceeding_mesh_widens_stencil(spark):
