@@ -212,6 +212,60 @@ def grid_candidates(
     return joined.filter(f2 & f1).withColumn("accept_f3", f3)
 
 
+def _simp_funnel_batch(rb, eps: float, simp_levels: int, result, stage=None):
+    """F9 simplification funnel over one Arrow RecordBatch — shared by the
+    K5 and CFDQ refine kernels (the reference's bddm engine runs the same
+    funnel before EITHER full-resolution decider,
+    detail/bddm/spatial_hash.hpp:771-821). Per level i: compare the two
+    stored Agarwal simplifications with ETD and the exact decider at
+    eps -/+ (simpEps_Q + simpEps_T) — YES below the lower bound, NO above
+    the upper bound (exact by the triangle inequality), MAYBE falls
+    through. Accepts are written into ``result`` (and ``stage``); returns
+    the undecided row indices."""
+    from frechetrange_spark.kernels.batch import (
+        _list_buffers,
+        _padded_gather,
+        decide_frechet_batch,
+        etd_batch,
+    )
+
+    def padded_pair(xcol, ycol, rows):
+        fx, ox = _list_buffers(rb.column(xcol))
+        fy, oy = _list_buffers(rb.column(ycol))
+        lens = ox[rows + 1] - ox[rows]
+        w = int(lens.max()) if rows.size else 1
+        return np.stack(
+            [_padded_gather(fx, ox, rows, w), _padded_gather(fy, oy, rows, w)],
+            axis=-1,
+        )
+
+    und = np.arange(rb.num_rows)
+    for i in range(simp_levels):
+        if und.size == 0:
+            break
+        q_eps = rb.column(f"q_s{i}_eps").to_numpy(zero_copy_only=False)[und]
+        t_eps = rb.column(f"s{i}_eps").to_numpy(zero_copy_only=False)[und]
+        eps_l = eps - q_eps - t_eps
+        eps_u = eps + q_eps + t_eps
+        sq = padded_pair(f"q_s{i}_xs", f"q_s{i}_ys", und)
+        st = padded_pair(f"s{i}_xs", f"s{i}_ys", und)
+        d = etd_batch(sq, st)
+        yes = d < eps_l  # strict, bddm:792
+        todo = np.nonzero(~yes & (eps_l > 0.0))[0]
+        if todo.size:
+            yes[todo] = decide_frechet_batch(sq[todo], st[todo], eps_l[todo])
+        no = np.zeros(und.size, dtype=bool)
+        todo = np.nonzero(~yes & (eps_u > 0.0))[0]
+        if todo.size:
+            no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
+        result[und[yes]] = True
+        if stage is not None:
+            stage[und[yes]] = f"simp{i}_yes"
+            stage[und[~yes & no]] = f"simp{i}_no"
+        und = und[~yes & ~no]
+    return und
+
+
 def _refine_map(
     eps: float,
     simp_levels: int = 0,
@@ -244,54 +298,13 @@ def _refine_map(
     def fn(batches):
         import pyarrow as pa
 
-        from frechetrange_spark.kernels.batch import (
-            _list_buffers,
-            _padded_gather,
-            decide_frechet_batch,
-            decide_pairs_arrow,
-            etd_batch,
-        )
-
-        def padded_pair(rb, xcol, ycol, rows):
-            fx, ox = _list_buffers(rb.column(xcol))
-            fy, oy = _list_buffers(rb.column(ycol))
-            lens = ox[rows + 1] - ox[rows]
-            w = int(lens.max()) if rows.size else 1
-            return np.stack(
-                [_padded_gather(fx, ox, rows, w), _padded_gather(fy, oy, rows, w)],
-                axis=-1,
-            )
-
-        from frechetrange_spark.kernels.batch import STAGE_NAMES
+        from frechetrange_spark.kernels.batch import STAGE_NAMES, decide_pairs_arrow
 
         for rb in batches:
             B = rb.num_rows
             result = np.zeros(B, dtype=bool)
             stage = np.full(B, "", dtype=object) if stats else None
-            und = np.arange(B)
-            for i in range(simp_levels):
-                if und.size == 0:
-                    break
-                q_eps = rb.column(f"q_s{i}_eps").to_numpy(zero_copy_only=False)[und]
-                t_eps = rb.column(f"s{i}_eps").to_numpy(zero_copy_only=False)[und]
-                eps_l = eps - q_eps - t_eps
-                eps_u = eps + q_eps + t_eps
-                sq = padded_pair(rb, f"q_s{i}_xs", f"q_s{i}_ys", und)
-                st = padded_pair(rb, f"s{i}_xs", f"s{i}_ys", und)
-                d = etd_batch(sq, st)
-                yes = d < eps_l  # strict, bddm:792
-                todo = np.nonzero(~yes & (eps_l > 0.0))[0]
-                if todo.size:
-                    yes[todo] = decide_frechet_batch(sq[todo], st[todo], eps_l[todo])
-                no = np.zeros(und.size, dtype=bool)
-                todo = np.nonzero(~yes & (eps_u > 0.0))[0]
-                if todo.size:
-                    no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
-                result[und[yes]] = True
-                if stats:
-                    stage[und[yes]] = f"simp{i}_yes"
-                    stage[und[~yes & no]] = f"simp{i}_no"
-                und = und[~yes & ~no]
+            und = _simp_funnel_batch(rb, eps, simp_levels, result, stage)
             if und.size:
                 # full-resolution fallback (ETD accept + optional F4/F5)
                 sub = rb.take(pa.array(und))
@@ -464,12 +477,18 @@ def range_query_grid(
     return result
 
 
-def _cfdq_refine_map(eps: float):
-    """Refine kernel using the CFDQ sparse decider (K6) with the dataset
-    curve's stored portals (K9/O4, columns portal_src/dst/dist). CFDQ's
-    sparse interval walk is control-flow-heavy, so the kernel is scalar
-    per pair — cost tracks the candidate count; the batched K5 funnel
-    remains the default engine (see range_query_cfdq)."""
+def _cfdq_refine_map(eps: float, simp_levels: int = 0):
+    """Refine kernel for the CFDQ engine: the batched F9 simplification
+    funnel first (shared with the K5 path — the reference's bddm engine
+    runs the funnel before its full-resolution decide too,
+    spatial_hash.hpp:771-856), then the CFDQ sparse decider (K6) with the
+    dataset curve's stored portals (K9/O4, columns portal_src/dst/dist)
+    on the few funnel survivors. CFDQ's sparse interval walk is
+    control-flow-heavy and stays scalar per pair, but it now sees only
+    funnel MAYBEs instead of every candidate; the per-survivor portal
+    jump map is built by slicing the flat Arrow buffers (the columns are
+    written src-sorted, dst-sorted within src — see enrich_with_portals/
+    compile_portals), not by a per-portal Python loop."""
 
     def fn(batches):
         import pyarrow as pa
@@ -478,32 +497,49 @@ def _cfdq_refine_map(eps: float):
         from frechetrange_spark.kernels.cfdq import decide_frechet_cfdq
 
         for rb in batches:
-            fqx, oqx = _list_buffers(rb.column("q_xs"))
-            fqy, oqy = _list_buffers(rb.column("q_ys"))
-            ftx, otx = _list_buffers(rb.column("xs"))
-            fty, oty = _list_buffers(rb.column("ys"))
-            fps, ops = _list_buffers(rb.column("portal_src"))
-            fpd, opd = _list_buffers(rb.column("portal_dst"))
-            fpw, opw = _list_buffers(rb.column("portal_dist"))
             B = rb.num_rows
             res = np.zeros(B, dtype=bool)
-            for r in range(B):
-                q = np.column_stack(
-                    [fqx[oqx[r] : oqx[r + 1]], fqy[oqy[r] : oqy[r + 1]]]
-                )
-                t = np.column_stack(
-                    [ftx[otx[r] : otx[r + 1]], fty[oty[r] : oty[r + 1]]]
-                )
-                srcs = fps[ops[r] : ops[r + 1]]
-                dsts = fpd[opd[r] : opd[r + 1]]
-                dists = fpw[opw[r] : opw[r + 1]]
-                portals: dict[int, list[tuple[int, int, float]]] = {}
-                for s, d, w in zip(srcs, dsts, dists):
-                    portals.setdefault(int(s), []).append((int(s), int(d), float(w)))
-                # portals attach to the dataset curve -> it is CFDQ's p side
-                res[r] = decide_frechet_cfdq(
-                    t, q, eps, base_query_delta=eps, portals=portals
-                )
+            und = _simp_funnel_batch(rb, eps, simp_levels, res)
+            if und.size:
+                fqx, oqx = _list_buffers(rb.column("q_xs"))
+                fqy, oqy = _list_buffers(rb.column("q_ys"))
+                ftx, otx = _list_buffers(rb.column("xs"))
+                fty, oty = _list_buffers(rb.column("ys"))
+                fps, ops = _list_buffers(rb.column("portal_src"))
+                fpd, opd = _list_buffers(rb.column("portal_dst"))
+                fpw, opw = _list_buffers(rb.column("portal_dist"))
+                fps = fps.astype(np.int64, copy=False)
+                fpd = fpd.astype(np.int64, copy=False)
+                for r in und:
+                    q = np.column_stack(
+                        [fqx[oqx[r] : oqx[r + 1]], fqy[oqy[r] : oqy[r + 1]]]
+                    )
+                    t = np.column_stack(
+                        [ftx[otx[r] : otx[r + 1]], fty[oty[r] : oty[r + 1]]]
+                    )
+                    srcs = fps[ops[r] : ops[r + 1]]
+                    dsts = fpd[opd[r] : opd[r + 1]]
+                    dists = fpw[opw[r] : opw[r + 1]]
+                    portals: dict[int, list[tuple[int, int, float]]] = {}
+                    if srcs.size:
+                        # flat buffers are src-grouped (sorted) with dst
+                        # ascending inside each group: one np.unique gives
+                        # every group slice — no per-portal Python loop
+                        uniq, starts = np.unique(srcs, return_index=True)
+                        bounds = np.append(starts, srcs.size)
+                        for j, s in enumerate(uniq):
+                            lo, hi = int(bounds[j]), int(bounds[j + 1])
+                            portals[int(s)] = list(
+                                zip(
+                                    srcs[lo:hi].tolist(),
+                                    dsts[lo:hi].tolist(),
+                                    dists[lo:hi].tolist(),
+                                )
+                            )
+                    # portals attach to the dataset curve -> CFDQ's p side
+                    res[r] = decide_frechet_cfdq(
+                        t, q, eps, base_query_delta=eps, portals=portals
+                    )
             idx = np.nonzero(res)[0]
             yield pa.RecordBatch.from_arrays(
                 [
@@ -521,10 +557,13 @@ def range_query_cfdq(
 ) -> DataFrame:
     """Exact range query refining with the CFDQ sparse decider over stored
     index portals — the bddm 'tue' engine lifecycle end-to-end (SURVEY
-    §3.3): J1 candidates -> F1/F2/F3 native filters -> K6+portals refine.
-    ``index_df`` must carry the portal columns (enrich_with_portals).
-    Result sets equal the K5 funnel's (parity-tested); offered as an
-    alternative engine — the batched K5 funnel stays the default."""
+    §3.3): J1 candidates -> F1/F2/F3 native filters -> batched F9
+    simplification funnel (when both sides carry s{i} columns) -> K6 +
+    portals on the funnel survivors, mirroring the reference's own
+    funnel-then-decide order (spatial_hash.hpp:771-856). ``index_df``
+    must carry the portal columns (enrich_with_portals). Result sets
+    equal the K5 funnel's (parity-tested); offered as an alternative
+    engine — the batched K5 funnel stays the default."""
     for c in ("portal_src", "portal_dst", "portal_dist"):
         if c not in index_df.columns:
             raise ValueError(f"index is missing portal column {c}; "
@@ -533,6 +572,21 @@ def range_query_cfdq(
     accepted = cand.filter("accept_f3").select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
     )
+    simp_levels = 0
+    extra = []
+    while (
+        f"s{simp_levels}_eps" in cand.columns
+        and f"q_s{simp_levels}_eps" in cand.columns
+    ):
+        extra += [
+            f"q_s{simp_levels}_xs",
+            f"q_s{simp_levels}_ys",
+            f"q_s{simp_levels}_eps",
+            f"s{simp_levels}_xs",
+            f"s{simp_levels}_ys",
+            f"s{simp_levels}_eps",
+        ]
+        simp_levels += 1
     to_refine = cand.filter(~F.col("accept_f3")).select(
         F.col("q_traj_id").alias("query_id"),
         "traj_id",
@@ -543,10 +597,11 @@ def range_query_cfdq(
         "portal_src",
         "portal_dst",
         "portal_dist",
+        *[F.col(c) for c in extra],
     )
     n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
     refined = to_refine.repartition(n_slots).mapInArrow(
-        _cfdq_refine_map(eps), schema="query_id long, traj_id long"
+        _cfdq_refine_map(eps, simp_levels), schema="query_id long, traj_id long"
     )
     return accepted.unionAll(refined)
 
