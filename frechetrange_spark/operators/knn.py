@@ -85,17 +85,10 @@ _FEATS = [
 ]
 
 
-def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
-    """Steps 1-2: (query_id, traj_id) pairs that can be in the exact top-k
-    by Fréchet distance — scalar bounds only, no array data moved."""
-    t = curves.select(F.col("traj_id"), *[F.col(c) for c in _FEATS])
-    q = queries.select(
-        F.col("traj_id").alias("query_id"),
-        *[F.col(c).alias(f"q_{c}") for c in _FEATS],
-    )
-    pairs = t.join(F.broadcast(q), F.col("traj_id") != F.col("query_id"))
-
-    # UB: farthest possible point-pair distance between the MBRs (F3)
+def _ub_col():
+    """UB: farthest possible point-pair distance between the MBRs (the F3
+    quantity, detail/dv/grid.hpp:719-730) — any matching is pointwise
+    below it, so δF <= UB."""
     fx = F.greatest(
         F.abs(F.col("q_min_x") - F.col("max_x")),
         F.abs(F.col("q_max_x") - F.col("min_x")),
@@ -104,9 +97,13 @@ def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         F.abs(F.col("q_min_y") - F.col("max_y")),
         F.abs(F.col("q_max_y") - F.col("min_y")),
     )
-    ub = F.sqrt(fx * fx + fy * fy)
+    return F.sqrt(fx * fx + fy * fy)
 
-    # LB: endpoint distances and per-axis MBR border gaps
+
+def _lb_col():
+    """LB: endpoint distances (endpoints must match endpoints) and
+    per-axis MBR border gaps — each a 1-D projection of δF (cf. the F1/F2
+    filter quantities, dv/frechet_distance.hpp:44-47, grid.hpp:683-717)."""
     d_first = F.sqrt(
         (F.col("q_x_first") - F.col("x_first")) ** 2
         + (F.col("q_y_first") - F.col("y_first")) ** 2
@@ -115,7 +112,7 @@ def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         (F.col("q_x_last") - F.col("x_last")) ** 2
         + (F.col("q_y_last") - F.col("y_last")) ** 2
     )
-    lb = F.greatest(
+    return F.greatest(
         F.abs(F.col("q_min_x") - F.col("min_x")),
         F.abs(F.col("q_max_x") - F.col("max_x")),
         F.abs(F.col("q_min_y") - F.col("min_y")),
@@ -123,11 +120,17 @@ def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         d_first,
         d_last,
     )
-    bounded = pairs.select("query_id", "traj_id", lb.alias("lb"), ub.alias("ub"))
 
-    w = Window.partitionBy("query_id").orderBy(F.col("ub").asc(), F.col("traj_id").asc())
+
+def _radius_prune(bounded: DataFrame, k: int) -> DataFrame:
+    """Step 2: per query, U_k = k-th smallest UB. At least k curves have
+    δF <= U_k, so every true k-nearest neighbor has δF <= U_k and hence
+    LB <= U_k: pairs with LB > U_k are pruned. If a query has < k pairs,
+    keep them all."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ub").asc(), F.col("traj_id").asc()
+    )
     ranked = bounded.withColumn("ub_rank", F.row_number().over(w))
-    # U_k = k-th smallest UB; if a query has < k pairs, keep them all
     radius = ranked.groupBy("query_id").agg(
         F.max(F.when(F.col("ub_rank") <= k, F.col("ub"))).alias("radius"),
         F.count("*").alias("n_pairs"),
@@ -137,6 +140,147 @@ def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
         .filter((F.col("n_pairs") <= k) | (F.col("lb") <= F.col("radius")))
         .select("query_id", "traj_id")
     )
+
+
+def knn_candidates(curves: DataFrame, queries: DataFrame, k: int) -> DataFrame:
+    """Steps 1-2 over ALL pairs: (query_id, traj_id) pairs that can be in
+    the exact top-k by Fréchet distance — scalar bounds only, no array
+    data moved. O(N·Q) scalar rows: fine for moderate query batches; use
+    ``knn_candidates_grid`` for the sublinear cell-prefiltered variant."""
+    t = curves.select(F.col("traj_id"), *[F.col(c) for c in _FEATS])
+    q = queries.select(
+        F.col("traj_id").alias("query_id"),
+        *[F.col(c).alias(f"q_{c}") for c in _FEATS],
+    )
+    pairs = t.join(F.broadcast(q), F.col("traj_id") != F.col("query_id"))
+    bounded = pairs.select(
+        "query_id", "traj_id", _lb_col().alias("lb"), _ub_col().alias("ub")
+    )
+    return _radius_prune(bounded, k)
+
+
+def knn_candidates_grid(
+    curves: DataFrame, queries: DataFrame, k: int, mesh: float
+) -> DataFrame:
+    """Steps 1-2 with a grid prefilter (SURVEY O5 at scale): instead of
+    scoring every (query, curve) pair, probe the home-cell grid with an
+    expanding Chebyshev ring — the candidate stream is sublinear in N on
+    clustered corpora (tested) while the returned set still provably
+    contains the exact top-k.
+
+    Soundness chain (exact, no tuning):
+    1. Home cells: each curve keyed by floor(min-corner / mesh) — the J1
+       grid convention (grid.hpp:352-358). For home cells at Chebyshev
+       cell distance g >= 1, the min-corner coordinates differ by
+       > (g-1)·mesh on some axis, and |Δmin_x|, |Δmin_y| are both LB
+       terms, so LB > (g-1)·mesh.
+    2. Ring radius r_q = smallest g whose cumulative occupied-cell count
+       reaches k+1 (per query, over the tiny broadcast cell histogram —
+       +1 absorbs the query itself). U'_k = k-th smallest UB among the
+       non-self ring pairs. Rings < r_q hold at most k-1 non-self curves
+       (else r_q would be smaller), so at least one of the k smallest-UB
+       ring curves sits at ring exactly r_q, and U'_k >= its UB >= its
+       LB > (r_q-1)·mesh.
+    3. Any true top-k member m has δF(m) <= U'_k (>= k ring curves have
+       δF <= UB <= U'_k), hence LB(m) <= U'_k, hence by (1) its home
+       cell lies within g_max = floor(U'_k/mesh) + 2 (+2: one ring of
+       slack absorbs the float division, keeping the bound strict).
+    4. The final candidate set = all curves with g <= g_max, re-pruned by
+       the standard U_k/LB radius logic (_radius_prune) — a superset of
+       the ring set, so its k-th smallest UB <= U'_k and the prune stays
+       sound. Identical top-k to the all-pairs variant (tested).
+
+    Cost: the per-(query, occupied-cell) scalar product replaces the
+    per-(query, curve) product — on a corpus with C cells << N curves the
+    planning stage is O(Q·C) and only cells inside g_max fan out rows."""
+    from frechetrange_spark.operators.tiling import cell_coord
+
+    homed = curves.select(F.col("traj_id"), *[F.col(c) for c in _FEATS]).withColumn(
+        "cell_x", cell_coord(F.col("min_x"), mesh)
+    ).withColumn("cell_y", cell_coord(F.col("min_y"), mesh))
+    cells = homed.groupBy("cell_x", "cell_y").agg(F.count("*").alias("cnt"))
+    q = queries.select(
+        F.col("traj_id").alias("query_id"),
+        *[F.col(c).alias(f"q_{c}") for c in _FEATS],
+    ).withColumn("q_cell_x", cell_coord(F.col("q_min_x"), mesh)).withColumn(
+        "q_cell_y", cell_coord(F.col("q_min_y"), mesh)
+    )
+    # per (query, occupied cell): Chebyshev cell-ring distance g
+    qc = q.crossJoin(F.broadcast(cells)).withColumn(
+        "g",
+        F.greatest(
+            F.abs(F.col("q_cell_x") - F.col("cell_x")),
+            F.abs(F.col("q_cell_y") - F.col("cell_y")),
+        ),
+    )
+    wg = (
+        Window.partitionBy("query_id")
+        .orderBy("g")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ring_radius = (
+        qc.withColumn("cum", F.sum("cnt").over(wg))
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("cum") >= k + 1, F.col("g"))).alias("rq"),
+            F.max("g").alias("g_all"),
+        )
+        .select(
+            "query_id", F.coalesce("rq", "g_all").alias("rq"), "g_all"
+        )
+    )
+    # ring pairs: curves whose home cell is within r_q — enough to bound
+    # the k-th smallest UB per query. The probe side (query x cell rows)
+    # is tiny and BROADCAST, so the join is a map-only hash probe over
+    # the curves — never a shuffle keyed by (hot) cells.
+    ring_cells = (
+        qc.join(F.broadcast(ring_radius), "query_id")
+        .filter(F.col("g") <= F.col("rq"))
+        .drop("cnt", "g", "rq", "g_all")
+    )
+    ring = (
+        homed.join(F.broadcast(ring_cells), ["cell_x", "cell_y"])
+        .filter(F.col("traj_id") != F.col("query_id"))
+        .select("query_id", "traj_id", _ub_col().alias("ub"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ub").asc(), F.col("traj_id").asc()
+    )
+    uk = (
+        ring.withColumn("r", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("r") <= k, F.col("ub"))).alias("uprime"),
+            F.count("*").alias("n_ring"),
+        )
+    )
+    # g_max per query; a query with < k non-self ring pairs (tiny corpus)
+    # falls back to every occupied cell
+    g_max = (
+        ring_radius.join(uk, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(
+                F.when(
+                    F.col("n_ring") >= k,
+                    F.floor(F.col("uprime") / F.lit(float(mesh))) + 2,
+                ),
+                F.col("g_all"),
+            ).alias("g_max"),
+        )
+    )
+    cand_cells = (
+        qc.join(F.broadcast(g_max), "query_id")
+        .filter(F.col("g") <= F.col("g_max"))
+        .drop("cnt", "g", "g_max")
+    )
+    cand = homed.join(F.broadcast(cand_cells), ["cell_x", "cell_y"]).filter(
+        F.col("traj_id") != F.col("query_id")
+    )
+    bounded = cand.select(
+        "query_id", "traj_id", _lb_col().alias("lb"), _ub_col().alias("ub")
+    )
+    return _radius_prune(bounded, k)
 
 
 def _etd_kernel(batches):
@@ -288,16 +432,22 @@ def knn_frechet(
     same guarantee the reference's kNN-by-bisection gives. Pass an
     exact-tolerance kernel via frechet_distances for stricter ranking.
 
-    ``mesh``/``eps0``/``max_rounds`` are accepted for backward
-    compatibility with the earlier eps-doubling implementation and ignored:
-    the bound-and-prune pass needs no tuning parameters."""
+    ``mesh``: home-cell size for the grid-prefiltered candidate stage
+    (knn_candidates_grid — expanding Chebyshev ring probes; sublinear
+    candidate streams on clustered corpora, identical top-k). ``None``
+    falls back to the all-pairs scalar bound pass. ``eps0``/
+    ``max_rounds`` are accepted for backward compatibility with the
+    earlier eps-doubling implementation and ignored."""
     # curves feed three plan branches (scalar features, ETD arrays, final
     # arrays); eager localCheckpoint materializes the assembly lineage once
     # and its blocks are GC-cleaned with the DataFrame — nothing left for
     # the caller to unpersist in a long-lived session.
     curves = curves.localCheckpoint()
     queries = queries.localCheckpoint()
-    candidates = knn_candidates(curves, queries, k)
+    if mesh is not None:
+        candidates = knn_candidates_grid(curves, queries, k, float(mesh))
+    else:
+        candidates = knn_candidates(curves, queries, k)
     survivors = etd_prune(curves, queries, candidates, k).localCheckpoint()
     finalists = decide_radius_prune(curves, queries, survivors)
     pairs = _pairs_with_arrays(curves, queries, finalists)

@@ -75,6 +75,41 @@ def test_radius_boundary_translated_duplicates():
     assert sum(b.num_rows for b in out) == n
 
 
+def test_grid_prefilter_identical_and_sublinear(spark):
+    """knn_candidates_grid returns the exact same top-k as the all-pairs
+    bound pass, and on a clustered corpus (10 far-apart clusters) its
+    candidate stream is sublinear — each query's ring probes stay inside
+    its own cluster instead of scoring all N curves."""
+    from pyspark.sql import functions as F
+
+    from frechetrange_spark.operators.knn import knn_candidates_grid
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+
+    pts = trajectory_points(spark, SF_SMALL).select(
+        "traj_id",
+        "seq",
+        (F.col("x") + (F.col("traj_id") % 10) * 100000.0).alias("x"),
+        "y",
+    )
+    curves = assemble_curves(pts).localCheckpoint()
+    queries = curves.filter(F.col("traj_id") % 150 == 0).localCheckpoint()
+    n, q = curves.count(), queries.count()
+
+    n_cand = knn_candidates_grid(curves, queries, K, 15.0).count()
+    assert n_cand < 0.25 * q * (n - 1), f"{n_cand} of {q * (n - 1)} pairs"
+
+    grid = knn_frechet(curves, queries, k=K, mesh=15.0).toPandas()
+    allp = knn_frechet(curves, queries, k=K, mesh=None).toPandas()
+    key = ["query_id", "rank"]
+    grid = grid.sort_values(key).reset_index(drop=True)
+    allp = allp.sort_values(key).reset_index(drop=True)
+    assert list(grid["traj_id"]) == list(allp["traj_id"])
+    assert list(grid["distance"]) == pytest.approx(list(allp["distance"]))
+
+
 def test_knn_exact(spark, corpus):
     queries = corpus.filter(F.col("traj_id") % 150 == 0)
     got = knn_frechet(corpus, queries, k=K, mesh=15.0, eps0=2.0).toPandas()

@@ -175,7 +175,9 @@ class TestIndexTable:
         path = str(tmp_path / "index")
         write_index(idx, path, meta)
         idx2, meta2 = read_index(spark, path)
-        assert meta2 == {"mesh": 15.0, "corner": "min_min"}
+        # meta round-trips in full (incl. the auto-chosen salt: None on
+        # this uniform corpus)
+        assert meta2 == {"mesh": 15.0, "corner": "min_min", "salt": None}
         assert idx2.count() == curves.count()
         assert sorted(idx2.columns) == sorted(idx.columns)
         q = curves.filter(F.col("traj_id") % 20 == 0)
