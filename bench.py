@@ -300,6 +300,126 @@ def run_real_corpus(n: int = CPUS) -> dict:
     return out
 
 
+def run_real_flagship(n: int) -> dict:
+    """Compute-bound workload on the reference's own corpus: range
+    SELF-join (every trajectory a query, GIS-Cup batch shape) on
+    data/sanfrancisco.ssv at eps=0.05, mesh=10*eps. The raw corpus is
+    only 388 trajectories (a ~2s phase — stage-scheduling latency, not
+    kernels), so each curve is replayed SPARK_GRAFT_REAL_REPS (default
+    8) times under distinct ids with a deterministic sub-eps offset
+    (0.001 deg ~ 100 m): every point stays real GPS geometry, the
+    near-duplicate replicas are exactly the hard case for the float
+    kernels, and candidate fan-out grows reps^2 — long enough that the
+    N->4N criterion measures compute. Match count is pinned across
+    levels (the unreplicated eps=0.05 density is separately covered by
+    tests/test_real_corpus goldens)."""
+    from pyspark.sql import functions as F
+
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_grid,
+    )
+    from frechetrange_spark.sources.trajectories import assemble_curves, read_ssv
+
+    ssv = "/root/reference/data/sanfrancisco.ssv"
+    eps, mesh = 0.05, 0.5
+    reps = int(os.environ.get("SPARK_GRAFT_REAL_REPS", "8"))
+    spark = _spark(n)
+    t0 = time.perf_counter()
+    base = assemble_curves(read_ssv(spark, ssv))
+    n_base = base.count()
+    parts = []
+    for d in range(reps):
+        off = F.lit(d * 0.001)
+        parts.append(
+            base.select(
+                (F.col("traj_id") + d * n_base).alias("traj_id"),
+                F.transform("xs", lambda v: v + off).alias("xs"),
+                F.transform("ys", lambda v: v + off).alias("ys"),
+                "n_points",
+                (F.col("x_first") + off).alias("x_first"),
+                (F.col("y_first") + off).alias("y_first"),
+                (F.col("x_last") + off).alias("x_last"),
+                (F.col("y_last") + off).alias("y_last"),
+                (F.col("min_x") + off).alias("min_x"),
+                (F.col("max_x") + off).alias("max_x"),
+                (F.col("min_y") + off).alias("min_y"),
+                (F.col("max_y") + off).alias("max_y"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionAll(p)
+    corpus = corpus.persist()
+    n_curves = corpus.count()
+    build_sec = round(time.perf_counter() - t0, 3)
+    index_df, meta = build_grid_index(corpus, mesh)
+    trials = []
+    n_matches = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        n_matches = range_query_grid(
+            index_df, corpus, eps, meta, symmetric=True
+        ).count()
+        trials.append(round(time.perf_counter() - t0, 3))
+    query_sec = min(trials)
+    out = {
+        "mode": "real_flagship",
+        "corpus": ssv,
+        "parallelism": n,
+        "n_queries": n_curves,
+        "eps": eps,
+        "mesh": mesh,
+        "build_sec": build_sec,
+        "query_sec": query_sec,
+        "query_trials": trials,
+        "qps": round(n_curves / query_sec, 2),
+        "n_matches": n_matches,
+    }
+    spark.stop()
+    return out
+
+
+def run_real_scaling() -> None:
+    """N=2 vs 4N=8 on the reference's own corpus (real GPS geometry),
+    interleaved rounds like --scaling; prints one JSON line with
+    per-round efficiencies. Match counts must agree across levels."""
+    here = os.path.abspath(__file__)
+
+    def at(n: int) -> dict:
+        r = subprocess.run(
+            [sys.executable, here, "--real-flagship", str(n)],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    n_rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    rounds = [{n: at(n) for n in (2, 8)} for _ in range(n_rounds)]
+    counts = {r[n]["n_matches"] for r in rounds for n in (2, 8)}
+    assert len(counts) == 1, f"match counts diverged across levels: {counts}"
+    best = {n: max(rounds, key=lambda r: r[n]["qps"])[n] for n in (2, 8)}
+    per_round = [round((r[8]["qps"] / r[2]["qps"]) / 4.0, 3) for r in rounds]
+    print(
+        json.dumps(
+            {
+                "mode": "real_scaling",
+                "eff_2_to_8_best": round(
+                    (best[8]["qps"] / best[2]["qps"]) / 4.0, 3
+                ),
+                "eff_2_to_8_per_round": per_round,
+                "n_matches": counts.pop(),
+                "rows": best,
+                "all_round_qps": {
+                    n: [r[n]["qps"] for r in rounds] for n in (2, 8)
+                },
+            }
+        )
+    )
+
+
 def _flop_work(_):
     import numpy as np
 
@@ -501,6 +621,11 @@ def run_scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--real-flagship" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--real-flagship") + 1])
+        print(json.dumps(run_real_flagship(n)))
+    elif "--real-scaling" in sys.argv:
+        run_real_scaling()
     elif "--real-corpus" in sys.argv:
         i = sys.argv.index("--real-corpus")
         has_n = i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit()
