@@ -367,6 +367,44 @@ def _refine_map(
 REFINE_STATS_SCHEMA = "query_id long, traj_id long, stage string, accepted boolean"
 
 
+def _array_cols(df: DataFrame) -> list[str]:
+    """The per-curve array payload columns: xs/ys plus any simplification
+    level arrays (s{i}_xs/s{i}_ys) and their eps scalars."""
+    out = []
+    for c in df.columns:
+        if c in ("xs", "ys"):
+            out.append(c)
+        elif c.startswith("s") and (
+            c.endswith("_xs") or c.endswith("_ys") or c.endswith("_eps")
+        ):
+            out.append(c)
+    return out
+
+
+def _est_broadcast_bytes(df: DataFrame) -> int:
+    """Estimated in-memory broadcast size of a curve table's array payload:
+    16 bytes per (x, y) point across the full-resolution arrays and every
+    stored simplification level (exact: sums the list sizes), times a 3x
+    HashedRelation overhead factor, plus per-row slack."""
+    aggs = [F.sum(F.size("xs")).alias("p")]
+    i = 0
+    while f"s{i}_xs" in df.columns:
+        aggs.append(F.sum(F.size(f"s{i}_xs")).alias(f"p{i}"))
+        i += 1
+    aggs.append(F.count("*").alias("n"))
+    row = df.agg(*aggs).collect()[0]
+    pts = sum(int(row[k] or 0) for k in row.asDict() if k != "n")
+    return pts * 16 * 3 + int(row["n"] or 0) * 64
+
+
+def _broadcast_threshold(spark) -> int:
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "33554432")
+    try:
+        return max(int(raw), 0)
+    except ValueError:
+        return 32 * 1024 * 1024
+
+
 def range_query_grid(
     index_df: DataFrame,
     queries: DataFrame,
@@ -377,6 +415,7 @@ def range_query_grid(
     neg_reject: bool = False,
     funnel_stats: bool = False,
     observations: dict | None = None,
+    attach: str = "auto",
 ) -> DataFrame:
     """Exact range query via the grid index: (query_id, traj_id) pairs with
     continuous Fréchet distance <= eps.
@@ -403,10 +442,63 @@ def range_query_grid(
     extra pass over any stage (each observe node sits on a
     single-consumption branch, so counts are exact). Read ``obs.get``
     after an action; the flagship pipeline persists them in the stage
-    manifest (north rule: per-partition lineage + metrics)."""
+    manifest (north rule: per-partition lineage + metrics).
+
+    ``attach`` picks how the refine kernel's array inputs travel:
+
+    - ``"shuffle"`` — arrays ride the candidate join and the round-robin
+      repartition (the only option when the curve table is too big to
+      broadcast: the 100-TB shape).
+    - ``"broadcast"`` — the candidate join and repartition move ONLY
+      (query_id, traj_id) id pairs; both sides' arrays are attached
+      AFTER the shuffle by broadcast hash joins. Measured 1.4-2.7x
+      faster on the reference's real corpus (128-pt curves: the array
+      shuffle was the scaling bottleneck, BENCH.md), identical results
+      (tested). Valid while each curve table's array payload fits the
+      broadcast threshold.
+    - ``"auto"`` (default) — broadcast when BOTH sides' estimated array
+      payload (_est_broadcast_bytes: exact point counts x 16 B x 3
+      overhead) fits spark.sql.autoBroadcastJoinThreshold, else shuffle."""
     from pyspark.sql import Observation
 
-    cand = grid_candidates(index_df, queries, eps, meta)
+    spark = index_df.sparkSession
+    if attach == "auto":
+        thr = _broadcast_threshold(spark)
+        attach = (
+            "broadcast"
+            if thr > 0
+            and _est_broadcast_bytes(index_df) <= thr
+            and _est_broadcast_bytes(queries) <= thr
+            else "shuffle"
+        )
+    # funnel columns (Agarwal simplifications) ride along when the index
+    # was enriched on BOTH sides
+    simp_levels = 0
+    extra = []
+    while (
+        f"s{simp_levels}_eps" in index_df.columns
+        and f"s{simp_levels}_eps" in queries.columns
+    ):
+        extra += [
+            f"q_s{simp_levels}_xs",
+            f"q_s{simp_levels}_ys",
+            f"q_s{simp_levels}_eps",
+            f"s{simp_levels}_xs",
+            f"s{simp_levels}_ys",
+            f"s{simp_levels}_eps",
+        ]
+        simp_levels += 1
+
+    if attach == "broadcast":
+        # candidates over scalar features only — no array bytes enter the
+        # join or the repartition
+        drop_d = [c for c in _array_cols(index_df) if not c.endswith("_eps")]
+        drop_q = [c for c in _array_cols(queries) if not c.endswith("_eps")]
+        cand = grid_candidates(
+            index_df.drop(*drop_d), queries.drop(*drop_q), eps, meta
+        )
+    else:
+        cand = grid_candidates(index_df, queries, eps, meta)
     accepted = cand.filter("accept_f3").select(
         F.col("q_traj_id").alias("query_id"), "traj_id"
     )
@@ -422,42 +514,56 @@ def range_query_grid(
             F.lit("f3_accept").alias("stage"),
             F.lit(True).alias("accepted"),
         )
-    # funnel columns (Agarwal simplifications) ride along when the index
-    # was enriched on BOTH sides
-    simp_levels = 0
-    extra = []
-    while f"s{simp_levels}_eps" in cand.columns and f"q_s{simp_levels}_eps" in cand.columns:
-        extra += [
-            f"q_s{simp_levels}_xs",
-            f"q_s{simp_levels}_ys",
-            f"q_s{simp_levels}_eps",
-            f"s{simp_levels}_xs",
-            f"s{simp_levels}_ys",
-            f"s{simp_levels}_eps",
-        ]
-        simp_levels += 1
-    to_refine = cand.filter(~F.col("accept_f3")).select(
-        F.col("q_traj_id").alias("query_id"),
+    refine_cols = [
+        "query_id",
         "traj_id",
         F.col("q_xs"),
         F.col("q_ys"),
         "xs",
         "ys",
         *[F.col(c) for c in extra],
-    )
-    if symmetric:
-        to_refine = to_refine.filter(F.col("query_id") <= F.col("traj_id"))
-    if observations is not None and not funnel_stats:
-        observations["refine_input"] = Observation()
-        to_refine = to_refine.observe(
-            observations["refine_input"], F.count(F.lit(1)).alias("n")
-        )
+    ]
     # Round-robin repartition before the Arrow kernel: the refine input is
     # small in BYTES but heavy in per-row CPU (free-space DP), so AQE's
     # byte-based coalescing would funnel it into one task. Explicit
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
-    n_slots = 2 * index_df.sparkSession.sparkContext.defaultParallelism
-    refined = to_refine.repartition(n_slots).mapInArrow(
+    n_slots = 2 * spark.sparkContext.defaultParallelism
+    if attach == "broadcast":
+        ids = cand.filter(~F.col("accept_f3")).select(
+            F.col("q_traj_id").alias("query_id"), "traj_id"
+        )
+        if symmetric:
+            ids = ids.filter(F.col("query_id") <= F.col("traj_id"))
+        if observations is not None and not funnel_stats:
+            observations["refine_input"] = Observation()
+            ids = ids.observe(
+                observations["refine_input"], F.count(F.lit(1)).alias("n")
+            )
+        d_arr = ["xs", "ys"] + [c for c in _array_cols(index_df) if c[0] == "s"]
+        d_side = index_df.select("traj_id", *d_arr)
+        q_side = queries.select(
+            F.col("traj_id").alias("query_id"),
+            *[F.col(c).alias(f"q_{c}") for c in d_arr],
+        )
+        to_refine = (
+            ids.repartition(n_slots)
+            .join(F.broadcast(q_side), "query_id")
+            .join(F.broadcast(d_side), "traj_id")
+            .select(*refine_cols)
+        )
+    else:
+        to_refine = cand.filter(~F.col("accept_f3")).select(
+            F.col("q_traj_id").alias("query_id"), "traj_id", *refine_cols[2:]
+        )
+        if symmetric:
+            to_refine = to_refine.filter(F.col("query_id") <= F.col("traj_id"))
+        if observations is not None and not funnel_stats:
+            observations["refine_input"] = Observation()
+            to_refine = to_refine.observe(
+                observations["refine_input"], F.count(F.lit(1)).alias("n")
+            )
+        to_refine = to_refine.repartition(n_slots)
+    refined = to_refine.mapInArrow(
         _refine_map(
             eps,
             simp_levels,

@@ -238,6 +238,52 @@ def test_random_corpus_property(spark, tmp_path):
         assert got == exp, f"trial={trial}: extra={got-exp} missing={exp-got}"
 
 
+def test_attach_modes_identical(spark):
+    """The refine input can travel two ways — arrays riding the shuffle
+    (the 100-TB shape) or ids-only repartition + broadcast array attach
+    (faster while the curve table fits the threshold; BENCH.md real-corpus
+    section). Result sets must be identical in both, with and without the
+    funnel columns and under the symmetric fast path."""
+    from frechetrange_spark.operators.range_query import (
+        build_grid_index,
+        range_query_grid,
+    )
+    from frechetrange_spark.operators.simplifications import (
+        enrich_with_simplifications,
+    )
+    from frechetrange_spark.sources.trajectories import (
+        assemble_curves,
+        trajectory_points,
+    )
+
+    plain = assemble_curves(
+        trajectory_points(spark, "/root/testdata/sf0.001")
+    ).persist()
+    enriched = enrich_with_simplifications(
+        plain, levels=2, fractions=(0.07, 0.6)
+    ).persist()
+    for curves, sym in ((plain, True), (enriched, False)):
+        idx, meta = build_grid_index(curves, 15.0, corner="min_min")
+        queries = curves if sym else curves.filter(F.col("traj_id") % 20 == 0)
+        shuf = set(
+            map(
+                tuple,
+                range_query_grid(
+                    idx, queries, 15.0, meta, symmetric=sym, attach="shuffle"
+                ).collect(),
+            )
+        )
+        bcast = set(
+            map(
+                tuple,
+                range_query_grid(
+                    idx, queries, 15.0, meta, symmetric=sym, attach="broadcast"
+                ).collect(),
+            )
+        )
+        assert bcast == shuf
+
+
 def test_symmetric_self_join_identical(spark):
     """The symmetric fast path (lower-triangle refine + mirror) returns
     exactly the plain self-join result set."""
