@@ -12,6 +12,14 @@ collect) so the measured time is the distributed plan, not row transfer.
 
 Other modes:
 
+Default-mode trials run as INTERLEAVED suite rounds (loop the whole
+query list N times, min per query across rounds) with one same-process
+CPU-quota probe per round, so a throttled sandbox window shows up in
+``calib_flop_per_round`` instead of masquerading as an engine
+regression (the BENCH_r03 false alarm).
+
+Other modes:
+
 - ``--flagship N``: staged GIS-Cup protocol at local[N] — index build
   (enrich + grid, untimed separately like the reference's benchmark.py:57-60)
   then the timed range self-join query phase. Prints one JSON line.
@@ -21,7 +29,13 @@ Other modes:
 - ``--scaling``: runs --flagship at N=2 vs 4N=8 (the range where the
   calibration shows the sandbox actually provides ~linear compute) plus
   local[8] vs local[32] as supplementary, embeds the calibration, and
-  writes BENCH.md with throughput + scaling efficiency.
+  writes BENCH.md with throughput + scaling efficiency (best-of AND
+  per-round medians).
+- ``--real-corpus [N]``: the reference's own benchmark protocol (100
+  random queries, three eps levels) on its shipped San Francisco corpus.
+- ``--real-flagship N`` / ``--real-scaling``: compute-bound self-join on
+  the same real GPS data (replicated with sub-eps offsets), and the
+  N=2 vs 4N=8 interleaved comparison over it.
 """
 
 from __future__ import annotations
@@ -306,7 +320,7 @@ def run_real_flagship(n: int) -> dict:
     data/sanfrancisco.ssv at eps=0.05, mesh=10*eps. The raw corpus is
     only 388 trajectories (a ~2s phase — stage-scheduling latency, not
     kernels), so each curve is replayed SPARK_GRAFT_REAL_REPS (default
-    8) times under distinct ids with a deterministic sub-eps offset
+    16) times under distinct ids with a deterministic sub-eps offset
     (0.001 deg ~ 100 m): every point stays real GPS geometry, the
     near-duplicate replicas are exactly the hard case for the float
     kernels, and candidate fan-out grows reps^2 — long enough that the
@@ -323,7 +337,7 @@ def run_real_flagship(n: int) -> dict:
 
     ssv = "/root/reference/data/sanfrancisco.ssv"
     eps, mesh = 0.05, 0.5
-    reps = int(os.environ.get("SPARK_GRAFT_REAL_REPS", "8"))
+    reps = int(os.environ.get("SPARK_GRAFT_REAL_REPS", "16"))
     spark = _spark(n)
     t0 = time.perf_counter()
     base = assemble_curves(read_ssv(spark, ssv))
