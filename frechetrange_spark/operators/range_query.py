@@ -23,6 +23,8 @@ the only Python, and it sees only survivors of the funnel.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -212,7 +214,9 @@ def grid_candidates(
     return joined.filter(f2 & f1).withColumn("accept_f3", f3)
 
 
-def _simp_funnel_batch(rb, eps: float, simp_levels: int, result, stage=None):
+def _simp_funnel_batch(
+    rb, eps: float, simp_levels: int, result, stage=None, chunk: int = 4096
+):
     """F9 simplification funnel over one Arrow RecordBatch — shared by the
     K5 and CFDQ refine kernels (the reference's bddm engine runs the same
     funnel before EITHER full-resolution decider,
@@ -221,48 +225,54 @@ def _simp_funnel_batch(rb, eps: float, simp_levels: int, result, stage=None):
     eps -/+ (simpEps_Q + simpEps_T) — YES below the lower bound, NO above
     the upper bound (exact by the triangle inequality), MAYBE falls
     through. Accepts are written into ``result`` (and ``stage``); returns
-    the undecided row indices."""
+    the undecided row indices.
+
+    Rows are size-bucketed and processed in ``chunk``-row padded slices
+    (same scheme as decide_pairs_arrow): the padded working set stays
+    O(chunk x longest-curve-in-slice) regardless of the Arrow batch size,
+    so a wide-curve batch cannot balloon the matrices to batch x max-width."""
     from frechetrange_spark.kernels.batch import (
+        _gather_pair,
         _list_buffers,
-        _padded_gather,
         decide_frechet_batch,
         etd_batch,
     )
 
-    def padded_pair(xcol, ycol, rows):
-        fx, ox = _list_buffers(rb.column(xcol))
-        fy, oy = _list_buffers(rb.column(ycol))
-        lens = ox[rows + 1] - ox[rows]
-        w = int(lens.max()) if rows.size else 1
-        return np.stack(
-            [_padded_gather(fx, ox, rows, w), _padded_gather(fy, oy, rows, w)],
-            axis=-1,
-        )
-
-    und = np.arange(rb.num_rows)
+    und = np.arange(rb.num_rows, dtype=np.int64)
     for i in range(simp_levels):
         if und.size == 0:
             break
-        q_eps = rb.column(f"q_s{i}_eps").to_numpy(zero_copy_only=False)[und]
-        t_eps = rb.column(f"s{i}_eps").to_numpy(zero_copy_only=False)[und]
-        eps_l = eps - q_eps - t_eps
-        eps_u = eps + q_eps + t_eps
-        sq = padded_pair(f"q_s{i}_xs", f"q_s{i}_ys", und)
-        st = padded_pair(f"s{i}_xs", f"s{i}_ys", und)
-        d = etd_batch(sq, st)
-        yes = d < eps_l  # strict, bddm:792
-        todo = np.nonzero(~yes & (eps_l > 0.0))[0]
-        if todo.size:
-            yes[todo] = decide_frechet_batch(sq[todo], st[todo], eps_l[todo])
-        no = np.zeros(und.size, dtype=bool)
-        todo = np.nonzero(~yes & (eps_u > 0.0))[0]
-        if todo.size:
-            no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
-        result[und[yes]] = True
-        if stage is not None:
-            stage[und[yes]] = f"simp{i}_yes"
-            stage[und[~yes & no]] = f"simp{i}_no"
-        und = und[~yes & ~no]
+        q_eps_full = rb.column(f"q_s{i}_eps").to_numpy(zero_copy_only=False)
+        t_eps_full = rb.column(f"s{i}_eps").to_numpy(zero_copy_only=False)
+        fqx, oqx = _list_buffers(rb.column(f"q_s{i}_xs"))
+        fqy, oqy = _list_buffers(rb.column(f"q_s{i}_ys"))
+        ftx, otx = _list_buffers(rb.column(f"s{i}_xs"))
+        fty, oty = _list_buffers(rb.column(f"s{i}_ys"))
+        lens = (oqx[und + 1] - oqx[und]) + (otx[und + 1] - otx[und])
+        order = np.argsort(lens, kind="stable")
+        remaining = []
+        for s in range(0, und.size, chunk):
+            rows = und[order[s : s + chunk]]
+            sq, st = _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows)
+            eps_l = eps - q_eps_full[rows] - t_eps_full[rows]
+            eps_u = eps + q_eps_full[rows] + t_eps_full[rows]
+            d = etd_batch(sq, st)
+            yes = d < eps_l  # strict, bddm:792
+            todo = np.nonzero(~yes & (eps_l > 0.0))[0]
+            if todo.size:
+                yes[todo] = decide_frechet_batch(sq[todo], st[todo], eps_l[todo])
+            no = np.zeros(rows.size, dtype=bool)
+            todo = np.nonzero(~yes & (eps_u > 0.0))[0]
+            if todo.size:
+                no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
+            result[rows[yes]] = True
+            if stage is not None:
+                stage[rows[yes]] = f"simp{i}_yes"
+                stage[rows[~yes & no]] = f"simp{i}_no"
+            remaining.append(rows[~yes & ~no])
+        und = (
+            np.concatenate(remaining) if remaining else np.empty(0, dtype=np.int64)
+        )
     return und
 
 
@@ -293,7 +303,13 @@ def _refine_map(
     frechet(simp, orig) <= simpEps), MAYBE falls through to the next level
     and finally to the full-resolution ETD accept (F8, :828-840) + decider
     (:846-856). The whole funnel is batched per Arrow batch — no shuffles
-    between stages."""
+    between stages.
+
+    ``SPARK_GRAFT_KERNEL_CHUNK`` (read at plan-build time on the driver)
+    overrides the padded-kernel chunk width; the default in
+    kernels.batch.decide_pairs_arrow is cache-size-bound, not
+    throughput-bound, so the knob exists for measurement, not tuning."""
+    chunk = int(os.environ.get("SPARK_GRAFT_KERNEL_CHUNK", "0"))
 
     def fn(batches):
         import pyarrow as pa
@@ -304,7 +320,10 @@ def _refine_map(
             B = rb.num_rows
             result = np.zeros(B, dtype=bool)
             stage = np.full(B, "", dtype=object) if stats else None
-            und = _simp_funnel_batch(rb, eps, simp_levels, result, stage)
+            und = _simp_funnel_batch(
+                rb, eps, simp_levels, result, stage,
+                **({"chunk": chunk} if chunk else {}),
+            )
             if und.size:
                 # full-resolution fallback (ETD accept + optional F4/F5)
                 sub = rb.take(pa.array(und))
@@ -317,6 +336,7 @@ def _refine_map(
                     greedy_accept=greedy_accept,
                     neg_reject=neg_reject,
                     return_stages=True,
+                    **({"chunk": chunk} if chunk else {}),
                 )
                 result[und] = res
                 if stats:
