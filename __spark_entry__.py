@@ -253,6 +253,23 @@ def _q_grid_corner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corner_costs(_curves(spark, sf_dir), MESH)
 
 
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k, graded against a real DuckDB oracle
+    (list_cosine_similarity + row_number): the cosine is quantized to
+    integer micro-units (cosine_e6) so the driver's value hash compares
+    exact integers — both engines compute in double precision from the
+    same float32 parquet values, and the corpus' smallest adjacent top-6
+    gap (~2e-5, measured at sf 0.001/0.01/0.1) dwarfs the ~1e-15
+    cross-engine float error, so ranks and quantization are stable."""
+    out = similarity.ann_topk_bruteforce(_emb(spark, sf_dir))
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
+        "rank",
+    )
+
+
 def _q_ann_topk_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF PARTITIONED spill layout graded end-to-end: embeddings
     written once partitioned by ivf_cell (multi-assign spill materialized
@@ -358,7 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": lambda s, d: events_ops.sessionize(_events(s, d)),
         "event_props": lambda s, d: events_ops.props_extract(_events(s, d)),
         # similarity search (embeddings)
-        "ann_topk": lambda s, d: similarity.ann_topk_bruteforce(_emb(s, d)),
+        "ann_topk": _q_ann_topk,
         "ann_topk_ivf": lambda s, d: similarity.ann_topk_ivf(_emb(s, d)),
         "ann_topk_ivf_disk": _q_ann_topk_ivf_disk,  # partitioned spill layout
         "neardup_lsh": lambda s, d: similarity.neardup_lsh(_emb(s, d)),
@@ -449,7 +466,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh": oracles.MINHASH_LSH_SQL,
         "simhash": oracles.SIMHASH_SQL,
         "simhash_pairs": oracles.SIMHASH_PAIRS_SQL,
-        # "ann_topk", "neardup_lsh": float-kernel ops — rows-only check
+        "ann_topk": oracles.ANN_TOPK_SQL,
+        # "neardup_lsh": seeded-hyperplane LSH — rows-only check
         #   (numpy-verified in tests/test_similarity.py)
         "media_meta": oracles.MEDIA_META_SQL,
         "frame_sample": oracles.FRAME_SAMPLE_SQL,

@@ -715,3 +715,29 @@ SELECT cell_x, cell_y,
        n_points
 FROM raster
 """
+
+# ANN brute-force cosine top-k (k=5, query_mod=50), graded with the cosine
+# quantized to integer micro-units (cosine_e6) so the compare is exact-typed:
+# both engines compute the cosine in double precision from the same float32
+# parquet values; the synthetic embeddings' smallest adjacent top-6 gap is
+# ~2e-5 (measured at sf 0.001/0.01/0.1) vs ~1e-15 cross-engine error, so
+# ranks and the quantization are stable.
+ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id % 50 = 0
+), s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, vec_id,
+       CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6, rank
+FROM r WHERE rank <= 5
+"""
