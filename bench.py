@@ -455,22 +455,73 @@ def _stream_work(_):
     return time.perf_counter() - t0
 
 
+def _kernel_work(seed):
+    """The engine's OWN hot kernel (free-space DP decide, padded 128-pt
+    batch) as a calibration workload: its 2D padded column sweeps are
+    memory-bandwidth-bound in a way the simple stream probe understates
+    (measured 2->8 multiprocessing efficiency ~0.73 vs stream's ~0.84),
+    so this row is the honest hardware ceiling for the refine phase."""
+    import numpy as np
+
+    from frechetrange_spark.kernels.batch import decide_frechet_batch
+
+    rng = np.random.default_rng(seed)
+    B, N = 1024, 128
+    p = np.cumsum(rng.normal(0, 1, (B, N, 2)), axis=1)
+    q = p + rng.normal(0, 0.5, (B, N, 2))
+    t0 = time.perf_counter()
+    decide_frechet_batch(p, q, np.full(B, 12.0))
+    return time.perf_counter() - t0
+
+
+def _calib_warm(_):
+    """Pre-fault worker heap (see frechetrange_spark.session): the malloc
+    env is inherited from this process, the pages must be touched once."""
+    import numpy as np
+
+    held = [np.full((1024, 1024), 1.0) for _ in range(32)]
+    return float(held[0][0, 0])
+
+
 def run_calibrate() -> dict:
     """Machine scaling ceiling: single-threaded numpy workloads under
-    K-way multiprocessing. No Spark, no engine code."""
+    K-way multiprocessing. No Spark; the `kernel` row is the engine's own
+    decide kernel run bare (no Spark plumbing) — the refine phase's
+    hardware ceiling."""
     import multiprocessing as mp
 
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
+    from frechetrange_spark.session import _MALLOC_ENV
+
+    for k, v in _MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     out: dict = {}
-    for label, work in (("flop", _flop_work), ("stream", _stream_work)):
-        rates = {}
-        for k in (1, 2, 8, 16, 32):
-            with mp.Pool(k) as pool:
-                t0 = time.perf_counter()
-                pool.map(work, range(k))
-                rates[k] = round(k / (time.perf_counter() - t0), 2)
-        out[label] = rates
+    n_rounds = int(os.environ.get("SPARK_GRAFT_CALIB_ROUNDS", "2"))
+    workloads = (
+        ("flop", _flop_work),
+        ("stream", _stream_work),
+        ("kernel", _kernel_work),
+    )
+    # interleaved rounds (all levels of all workloads per round), best-of:
+    # same rationale as the suite protocol — the sandbox quota drifts on
+    # minute timescales, and a single-shot sweep bakes one window into
+    # every ratio (observed: stream 32 < 16, super-linear flop 8->16)
+    rates: dict = {label: {k: 0.0 for k in (1, 2, 8, 16, 32)} for label, _ in workloads}
+    for _ in range(n_rounds):
+        for label, work in workloads:
+            for k in (1, 2, 8, 16, 32):
+                with mp.Pool(k) as pool:
+                    pool.map(_calib_warm, range(k))
+                    units = k * 3 if label == "kernel" else k
+                    t0 = time.perf_counter()
+                    pool.map(work, range(units))
+                    rates[label][k] = max(
+                        rates[label][k],
+                        round(units / (time.perf_counter() - t0), 2),
+                    )
+    for label, _ in workloads:
+        out[label] = rates[label]
     return out
 
 
@@ -547,11 +598,14 @@ def run_scaling() -> None:
         "Single-threaded numpy workloads under K-way multiprocessing —",
         "the machine's own scaling ceiling:",
         "",
-        "| procs | FLOP-bound (units/s) | stream-bound (units/s) |",
-        "|---|---|---|",
+        "| procs | FLOP-bound (units/s) | stream-bound (units/s) | engine decide kernel (units/s) |",
+        "|---|---|---|---|",
     ]
     for k in (1, 2, 8, 16, 32):
-        lines.append(f"| {k} | {calib['flop'][k]} | {calib['stream'][k]} |")
+        lines.append(
+            f"| {k} | {calib['flop'][k]} | {calib['stream'][k]} |"
+            f" {calib['kernel'][k]} |"
+        )
     lines += [
         "",
         f"The sandbox's 32 vCPUs deliver ~{round(calib['flop'][32] / calib['flop'][1])}x"

@@ -429,31 +429,74 @@ def decide_pairs_arrow(
     - ``neg_reject``: F5 galloping negative filter, scalar per pair on the
       post-accept remainder only (the funnel tail — its cost tracks the
       undecided count, not the candidate count)."""
-    from frechetrange_spark.kernels.core import negfilter
-
     fqx, oqx = _list_buffers(qxs)
     fqy, oqy = _list_buffers(qys)
     ftx, otx = _list_buffers(xs)
     fty, oty = _list_buffers(ys)
     B = len(oqx) - 1
+    sel = np.arange(B, dtype=np.int64)
+    return decide_pairs_buffers(
+        (fqx, oqx, fqy, oqy),
+        (ftx, otx, fty, oty),
+        sel,
+        sel,
+        eps,
+        chunk=chunk,
+        etd_accept=etd_accept,
+        greedy_accept=greedy_accept,
+        neg_reject=neg_reject,
+        return_stages=return_stages,
+    )
+
+
+def decide_pairs_buffers(
+    bq: tuple,
+    bt: tuple,
+    qsel: np.ndarray,
+    tsel: np.ndarray,
+    eps,
+    chunk: int = 4096,
+    etd_accept: bool = True,
+    greedy_accept: bool = False,
+    neg_reject: bool = False,
+    return_stages: bool = False,
+) -> np.ndarray:
+    """decide_pairs_arrow's core over raw list buffers with per-pair curve
+    indirection: ``bq``/``bt`` are (flat_x, off_x, flat_y, off_y) curve
+    TABLES (one list row per curve), and pair i compares curve
+    ``qsel[i]`` of bq against curve ``tsel[i]`` of bt. The arrow wrapper
+    passes identity selectors over per-pair columns; the broadcast-attach
+    refine passes id-resolved selectors into a shared curve table, so the
+    pair rows themselves carry no array bytes."""
+    from frechetrange_spark.kernels.core import negfilter
+
+    fqx, oqx, fqy, oqy = bq
+    ftx, otx, fty, oty = bt
+    B = int(qsel.size)
     out = np.zeros(B, dtype=bool)
     stages = np.zeros(B, dtype=np.int8)
     if B == 0:
         return (out, stages) if return_stages else out
     eps_arr = np.broadcast_to(np.asarray(eps, dtype=np.float64), (B,))
-    lens_p = np.diff(oqx)
-    lens_t = np.diff(otx)
+    lens_p = oqx[qsel + 1] - oqx[qsel]
+    lens_t = otx[tsel + 1] - otx[tsel]
     order = np.argsort(lens_p + lens_t)
     for s in range(0, B, chunk):
         rows = order[s : s + chunk]
         wp = int(lens_p[rows].max())
         wt = int(lens_t[rows].max())
         p = np.stack(
-            [_padded_gather(fqx, oqx, rows, wp), _padded_gather(fqy, oqy, rows, wp)],
+            [
+                _padded_gather(fqx, oqx, qsel[rows], wp),
+                _padded_gather(fqy, oqy, qsel[rows], wp),
+            ],
             axis=-1,
         )
         t = np.stack(
-            [_padded_gather(ftx, otx, rows, wt), _padded_gather(fty, oty, rows, wt)],
+            [
+                _padded_gather(ftx, otx, tsel[rows], wt),
+                _padded_gather(fty, oty, tsel[rows], wt),
+            ],
             axis=-1,
         )
         e = eps_arr[rows]

@@ -276,6 +276,120 @@ def _simp_funnel_batch(
     return und
 
 
+def _pack_curves(df: DataFrame, simp_levels: int) -> dict:
+    """Driver-side pack of a curve table for the broadcast-attach refine:
+    every array column as (flat float64, offsets int64) buffers over the
+    curves SORTED by traj_id, plus the per-curve simplification eps
+    scalars. Only called when the table passed the broadcast-size gate
+    (_est_broadcast_bytes <= autoBroadcastJoinThreshold), so the collect
+    is bounded by the same budget a broadcast hash join would use."""
+    cols = ["xs", "ys"]
+    scal = []
+    for i in range(simp_levels):
+        cols += [f"s{i}_xs", f"s{i}_ys"]
+        scal.append(f"s{i}_eps")
+    pdf = (
+        df.select("traj_id", *cols, *scal).orderBy("traj_id").toPandas()
+    )
+    ids = pdf["traj_id"].to_numpy(dtype=np.int64)
+    packed_cols = {}
+    for c in cols:
+        vals = pdf[c].to_numpy()
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64, count=len(vals))
+        off = np.concatenate([np.zeros(1, dtype=np.int64), np.cumsum(lens)])
+        flat = (
+            np.concatenate(list(vals)).astype(np.float64, copy=False)
+            if len(vals)
+            else np.empty(0, dtype=np.float64)
+        )
+        packed_cols[c] = (flat, off)
+    return {
+        "ids": ids,
+        "cols": packed_cols,
+        "scal": {c: pdf[c].to_numpy(dtype=np.float64) for c in scal},
+    }
+
+
+def _lookup(ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Sorted-id -> row-index resolution with a loud miss guard (a miss
+    would silently gather another curve's buffers)."""
+    idx = np.searchsorted(ids, vals)
+    idx = np.minimum(idx, ids.size - 1)
+    if ids.size == 0 or not np.array_equal(ids[idx], vals):
+        raise KeyError("broadcast curve pack is missing candidate traj_ids")
+    return idx
+
+
+def _simp_funnel_pairs(
+    qpack: dict,
+    tpack: dict,
+    qsel: np.ndarray,
+    tsel: np.ndarray,
+    eps: float,
+    simp_levels: int,
+    result,
+    stage=None,
+    chunk: int = 4096,
+):
+    """_simp_funnel_batch over broadcast curve packs: identical stage
+    semantics, but the simplification arrays are gathered from the shared
+    per-curve buffers via qsel/tsel instead of riding the pair rows."""
+    from frechetrange_spark.kernels.batch import (
+        _padded_gather,
+        decide_frechet_batch,
+        etd_batch,
+    )
+
+    und = np.arange(qsel.size, dtype=np.int64)
+    for i in range(simp_levels):
+        if und.size == 0:
+            break
+        fqx, oqx = qpack["cols"][f"s{i}_xs"]
+        fqy, oqy = qpack["cols"][f"s{i}_ys"]
+        ftx, otx = tpack["cols"][f"s{i}_xs"]
+        fty, oty = tpack["cols"][f"s{i}_ys"]
+        q_eps_all = qpack["scal"][f"s{i}_eps"]
+        t_eps_all = tpack["scal"][f"s{i}_eps"]
+        lens = (oqx[qsel[und] + 1] - oqx[qsel[und]]) + (
+            otx[tsel[und] + 1] - otx[tsel[und]]
+        )
+        order = np.argsort(lens, kind="stable")
+        remaining = []
+        for s in range(0, und.size, chunk):
+            rows = und[order[s : s + chunk]]
+            qr, tr = qsel[rows], tsel[rows]
+            wq = int((oqx[qr + 1] - oqx[qr]).max())
+            wt = int((otx[tr + 1] - otx[tr]).max())
+            sq = np.stack(
+                [_padded_gather(fqx, oqx, qr, wq), _padded_gather(fqy, oqy, qr, wq)],
+                axis=-1,
+            )
+            st = np.stack(
+                [_padded_gather(ftx, otx, tr, wt), _padded_gather(fty, oty, tr, wt)],
+                axis=-1,
+            )
+            eps_l = eps - q_eps_all[qr] - t_eps_all[tr]
+            eps_u = eps + q_eps_all[qr] + t_eps_all[tr]
+            d = etd_batch(sq, st)
+            yes = d < eps_l  # strict, bddm:792
+            todo = np.nonzero(~yes & (eps_l > 0.0))[0]
+            if todo.size:
+                yes[todo] = decide_frechet_batch(sq[todo], st[todo], eps_l[todo])
+            no = np.zeros(rows.size, dtype=bool)
+            todo = np.nonzero(~yes & (eps_u > 0.0))[0]
+            if todo.size:
+                no[todo] = ~decide_frechet_batch(sq[todo], st[todo], eps_u[todo])
+            result[rows[yes]] = True
+            if stage is not None:
+                stage[rows[yes]] = f"simp{i}_yes"
+                stage[rows[~yes & no]] = f"simp{i}_no"
+            remaining.append(rows[~yes & ~no])
+        und = (
+            np.concatenate(remaining) if remaining else np.empty(0, dtype=np.int64)
+        )
+    return und
+
+
 def _refine_map(
     eps: float,
     simp_levels: int = 0,
@@ -283,6 +397,7 @@ def _refine_map(
     greedy_accept: bool = False,
     neg_reject: bool = False,
     stats: bool = False,
+    bcast=None,
 ):
     """Arrow-native refine: the exact decider (K5) batched over every pair
     in each RecordBatch — list buffers are gathered into padded (B, N, 2)
@@ -308,41 +423,82 @@ def _refine_map(
     ``SPARK_GRAFT_KERNEL_CHUNK`` (read at plan-build time on the driver)
     overrides the padded-kernel chunk width; the default in
     kernels.batch.decide_pairs_arrow is cache-size-bound, not
-    throughput-bound, so the knob exists for measurement, not tuning."""
+    throughput-bound, so the knob exists for measurement, not tuning.
+
+    With ``bcast`` (a SparkContext broadcast of {"q": pack, "t": pack},
+    see _pack_curves) the incoming batches carry ONLY (query_id, traj_id)
+    id pairs — every curve array and simplification eps is gathered from
+    the shared broadcast buffers via sorted-id lookup, so the candidate
+    join, the repartition shuffle AND the JVM->Python Arrow stream all
+    move ~16 bytes per pair instead of the full ~(4 x n_points x 8)-byte
+    array payload per pair."""
     chunk = int(os.environ.get("SPARK_GRAFT_KERNEL_CHUNK", "0"))
 
     def fn(batches):
         import pyarrow as pa
 
-        from frechetrange_spark.kernels.batch import STAGE_NAMES, decide_pairs_arrow
+        from frechetrange_spark.kernels.batch import (
+            STAGE_NAMES,
+            decide_pairs_arrow,
+            decide_pairs_buffers,
+        )
 
+        packs = bcast.value if bcast is not None else None
         for rb in batches:
             B = rb.num_rows
             result = np.zeros(B, dtype=bool)
             stage = np.full(B, "", dtype=object) if stats else None
-            und = _simp_funnel_batch(
-                rb, eps, simp_levels, result, stage,
-                **({"chunk": chunk} if chunk else {}),
-            )
-            if und.size:
-                # full-resolution fallback (ETD accept + optional F4/F5)
-                sub = rb.take(pa.array(und))
-                res, codes = decide_pairs_arrow(
-                    sub.column("q_xs"),
-                    sub.column("q_ys"),
-                    sub.column("xs"),
-                    sub.column("ys"),
-                    eps,
-                    greedy_accept=greedy_accept,
-                    neg_reject=neg_reject,
-                    return_stages=True,
-                    **({"chunk": chunk} if chunk else {}),
-                )
-                result[und] = res
-                if stats:
-                    stage[und] = [STAGE_NAMES[c] for c in codes]
             all_qid = rb.column("query_id").to_numpy(zero_copy_only=False)
             all_tid = rb.column("traj_id").to_numpy(zero_copy_only=False)
+            if packs is not None:
+                qpack, tpack = packs["q"], packs["t"]
+                qsel = _lookup(qpack["ids"], all_qid)
+                tsel = _lookup(tpack["ids"], all_tid)
+                und = _simp_funnel_pairs(
+                    qpack, tpack, qsel, tsel, eps, simp_levels, result, stage,
+                    **({"chunk": chunk} if chunk else {}),
+                )
+                if und.size:
+                    fqx, oqx = qpack["cols"]["xs"]
+                    fqy, oqy = qpack["cols"]["ys"]
+                    ftx, otx = tpack["cols"]["xs"]
+                    fty, oty = tpack["cols"]["ys"]
+                    res, codes = decide_pairs_buffers(
+                        (fqx, oqx, fqy, oqy),
+                        (ftx, otx, fty, oty),
+                        qsel[und],
+                        tsel[und],
+                        eps,
+                        greedy_accept=greedy_accept,
+                        neg_reject=neg_reject,
+                        return_stages=True,
+                        **({"chunk": chunk} if chunk else {}),
+                    )
+                    result[und] = res
+                    if stats:
+                        stage[und] = [STAGE_NAMES[c] for c in codes]
+            else:
+                und = _simp_funnel_batch(
+                    rb, eps, simp_levels, result, stage,
+                    **({"chunk": chunk} if chunk else {}),
+                )
+                if und.size:
+                    # full-resolution fallback (ETD accept + optional F4/F5)
+                    sub = rb.take(pa.array(und))
+                    res, codes = decide_pairs_arrow(
+                        sub.column("q_xs"),
+                        sub.column("q_ys"),
+                        sub.column("xs"),
+                        sub.column("ys"),
+                        eps,
+                        greedy_accept=greedy_accept,
+                        neg_reject=neg_reject,
+                        return_stages=True,
+                        **({"chunk": chunk} if chunk else {}),
+                    )
+                    result[und] = res
+                    if stats:
+                        stage[und] = [STAGE_NAMES[c] for c in codes]
             if stats:
                 qid, tid, acc = all_qid, all_tid, result
                 stg = stage
@@ -548,6 +704,7 @@ def range_query_grid(
     # byte-based coalescing would funnel it into one task. Explicit
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
     n_slots = 2 * spark.sparkContext.defaultParallelism
+    refine_bcast = None
     if attach == "broadcast":
         ids = cand.filter(~F.col("accept_f3")).select(
             F.col("q_traj_id").alias("query_id"), "traj_id"
@@ -559,18 +716,18 @@ def range_query_grid(
             ids = ids.observe(
                 observations["refine_input"], F.count(F.lit(1)).alias("n")
             )
-        d_arr = ["xs", "ys"] + [c for c in _array_cols(index_df) if c[0] == "s"]
-        d_side = index_df.select("traj_id", *d_arr)
-        q_side = queries.select(
-            F.col("traj_id").alias("query_id"),
-            *[F.col(c).alias(f"q_{c}") for c in d_arr],
+        # ids-only all the way INTO the kernel: the curve arrays (and
+        # simplification levels) travel once as a python broadcast of
+        # packed buffers, not once per candidate pair — the join, the
+        # repartition and the JVM->Python Arrow stream each move ~16
+        # bytes/pair instead of the ~4 KB/pair array payload
+        refine_bcast = spark.sparkContext.broadcast(
+            {
+                "q": _pack_curves(queries, simp_levels),
+                "t": _pack_curves(index_df, simp_levels),
+            }
         )
-        to_refine = (
-            ids.repartition(n_slots)
-            .join(F.broadcast(q_side), "query_id")
-            .join(F.broadcast(d_side), "traj_id")
-            .select(*refine_cols)
-        )
+        to_refine = ids.repartition(n_slots)
     else:
         to_refine = cand.filter(~F.col("accept_f3")).select(
             F.col("q_traj_id").alias("query_id"), "traj_id", *refine_cols[2:]
@@ -591,6 +748,7 @@ def range_query_grid(
             greedy_accept=greedy_accept,
             neg_reject=neg_reject,
             stats=funnel_stats,
+            bcast=refine_bcast,
         ),
         schema=REFINE_STATS_SCHEMA if funnel_stats else "query_id long, traj_id long",
     )
