@@ -355,3 +355,62 @@ def test_f7_positive_filter_sound():
             fired += 1
             assert decide_frechet(p, q, eps)
     assert fired > 50
+
+
+class TestDecidePairsBuffers:
+    """decide_pairs_buffers: the decide core over shared curve tables with
+    per-pair (qsel, tsel) indirection — the broadcast-attach refine's
+    kernel entry. Must agree with the arrow per-pair wrapper bit-for-bit."""
+
+    def _curve_table(self, curves):
+        flat_x = np.concatenate([c[:, 0] for c in curves])
+        flat_y = np.concatenate([c[:, 1] for c in curves])
+        off = np.concatenate(
+            [[0], np.cumsum([len(c) for c in curves])]
+        ).astype(np.int64)
+        return flat_x, off, flat_y, off
+
+    def test_agrees_with_arrow_wrapper(self):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import (
+            decide_pairs_arrow,
+            decide_pairs_buffers,
+        )
+
+        rng = np.random.default_rng(17)
+        curves = [
+            np.cumsum(rng.normal(0, 1, (rng.integers(2, 40), 2)), axis=0)
+            for _ in range(40)
+        ]
+        qi = rng.integers(0, 40, 300).astype(np.int64)
+        ti = rng.integers(0, 40, 300).astype(np.int64)
+        cols = lambda idx, d: pa.array([curves[i][:, d] for i in idx])
+        for flags in (
+            dict(),
+            dict(greedy_accept=True),
+            dict(greedy_accept=True, neg_reject=True),
+        ):
+            a, sa = decide_pairs_arrow(
+                cols(qi, 0), cols(qi, 1), cols(ti, 0), cols(ti, 1),
+                5.0, return_stages=True, **flags,
+            )
+            fx, ox, fy, oy = self._curve_table(curves)
+            b, sb = decide_pairs_buffers(
+                (fx, ox, fy, oy), (fx, ox, fy, oy), qi, ti,
+                5.0, return_stages=True, **flags,
+            )
+            assert (a == b).all()
+            assert (sa == sb).all()
+
+    def test_lookup_miss_raises(self):
+        import pytest
+
+        from frechetrange_spark.operators.range_query import _lookup
+
+        ids = np.array([1, 5, 9], dtype=np.int64)
+        assert _lookup(ids, np.array([9, 1, 5])).tolist() == [2, 0, 1]
+        with pytest.raises(KeyError):
+            _lookup(ids, np.array([1, 7]))
+        with pytest.raises(KeyError):
+            _lookup(np.empty(0, dtype=np.int64), np.array([1]))
