@@ -54,21 +54,47 @@ def _interval(a, b1, b2, eps):
     return True, max(0.0, t1), min(1.0, t2)
 
 
+def _flat_portals(portals) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Normalize a portal map to the flat-array interface: (srcs, dsts,
+    dists) sorted by (src, dst). Accepts the flat triple itself (the fast
+    path — e.g. sliced straight from the index table's Arrow buffers, no
+    per-pair Python objects), a legacy {src: [(src, dst, dist)]} dict, or
+    None."""
+    if portals is None:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    if isinstance(portals, tuple):
+        srcs, dsts, dists = portals
+        return (
+            np.asarray(srcs, dtype=np.int64),
+            np.asarray(dsts, dtype=np.int64),
+            np.asarray(dists, dtype=np.float64),
+        )
+    flat = [t for src in sorted(portals) for t in portals[src]]
+    srcs = np.asarray([t[0] for t in flat], dtype=np.int64)
+    dsts = np.asarray([t[1] for t in flat], dtype=np.int64)
+    dists = np.asarray([t[2] for t in flat], dtype=np.float64)
+    return srcs, dsts, dists
+
+
 def decide_frechet_cfdq(
     p: np.ndarray,
     q: np.ndarray,
     query_delta: float,
     base_query_delta: float | None = None,
-    portals: dict[int, list[tuple[int, int, float]]] | None = None,
+    portals=None,
 ) -> bool:
     """True iff continuous Fréchet distance <= query_delta (cfdq
-    ``calculate``, :885-1107). ``portals`` maps a row (index into p) to
-    [(source, destination, distance)] sorted by destination."""
+    ``calculate``, :885-1107). ``portals``: per-row jump shortcuts sorted
+    by destination within each source row — pass the flat (srcs, dsts,
+    dists) triple (see _flat_portals) to avoid any per-pair Python
+    object churn; the row's group is found by np.searchsorted on the
+    src-sorted array."""
     P = np.asarray(p, dtype=np.float64)
     Q = np.asarray(q, dtype=np.float64)
     if base_query_delta is None:
         base_query_delta = query_delta
-    portals = portals or {}
+    psrc, pdst, pdist = _flat_portals(portals)
     size_p, size_q = P.shape[0], Q.shape[0]
     d2s = float(np.sum((P[0] - Q[0]) ** 2))
     d2e = float(np.sum((P[-1] - Q[-1]) ** 2))
@@ -161,22 +187,27 @@ def decide_frechet_cfdq(
                     and rf_e == 1.0
                 ):
                     gap = qbuf[first][q_index][1] - qbuf[first][q_index][0]
-                    if gap > 1 and row in portals:
-                        choice = None
-                        for src, dst, dist in portals[row]:
+                    if gap > 1 and psrc.size:
+                        # the row's portal group: contiguous src-sorted
+                        # slice, dst ascending inside it (O4 order)
+                        lo = int(np.searchsorted(psrc, row, "left"))
+                        hi = int(np.searchsorted(psrc, row, "right"))
+                        choice_dst = -1
+                        for j in range(lo, hi):
+                            dst = int(pdst[j])
                             if dst <= qbuf[first][q_index][1]:
                                 seg_frechet = np.sqrt(
                                     max(
-                                        float(np.sum((P[src] - Q[column]) ** 2)),
+                                        float(np.sum((P[row] - Q[column]) ** 2)),
                                         float(np.sum((P[dst] - Q[column]) ** 2)),
                                     )
                                 )
-                                if seg_frechet + dist <= base_query_delta:
-                                    choice = (src, dst, dist)
+                                if seg_frechet + float(pdist[j]) <= base_query_delta:
+                                    choice_dst = dst
                             else:
                                 break
-                        if choice is not None:
-                            row = choice[1] - 1  # -1 to counter the += 1 below
+                        if choice_dst >= 0:
+                            row = choice_dst - 1  # -1 to counter the += 1 below
                             qbuf[second][-1][1] = row
                 row += 1
                 if not (left_most_top <= 1.0 and row < size_p - 1):

@@ -121,9 +121,13 @@ def build_grid_index(
     (index_df, meta); meta carries mesh, corner, and — when ``auto_salt``
     — a data-driven ``salt`` that ``grid_candidates`` applies by default,
     so hot-cell corpora get the skew split without any manual flag
-    (None on uniform corpora: plan unchanged). At scale, write
-    ``index_df`` partitioned/bucketed by (cell_x, cell_y) so the query
-    join prunes partitions (sources/index_table.py persists meta too)."""
+    (None on uniform corpora: plan unchanged). Meta also carries
+    ``payload_bytes`` (the estimated broadcast size of the array payload,
+    _est_broadcast_bytes) so ``range_query_grid(attach="auto")`` can pick
+    its attach arm from build-time stats instead of re-scanning the
+    array columns per query. At scale, write ``index_df``
+    partitioned/bucketed by (cell_x, cell_y) so the query join prunes
+    partitions (sources/index_table.py persists meta too)."""
     if corner is None:
         corner = choose_corner(curves, mesh)
     cx_col, cy_col = _CORNERS[corner]
@@ -135,6 +139,7 @@ def build_grid_index(
         meta["salt"] = choose_salt(
             index_df, index_df.sparkSession.sparkContext.defaultParallelism
         )
+    meta["payload_bytes"] = _est_broadcast_bytes(index_df)
     return index_df, meta
 
 
@@ -310,12 +315,58 @@ def _pack_curves(df: DataFrame, simp_levels: int) -> dict:
     }
 
 
+# Broadcast curve packs, cached per (optimized-plan semantic hash,
+# simp_levels): repeated queries against the same index reuse ONE
+# broadcast instead of re-collecting and re-broadcasting the pack per
+# range_query_grid call, and eviction unpersists executor copies so a
+# long-lived session issuing many broadcast-attach queries cannot
+# accumulate broadcasts without bound.
+_PACK_CACHE: dict = {}
+_PACK_CACHE_CAP = 4
+
+
+def _plan_key(df: DataFrame):
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().semanticHash())
+    except Exception:
+        return id(df)
+
+
+def _pack_broadcast(df: DataFrame, simp_levels: int):
+    """sc.broadcast of _pack_curves(df), LRU-cached (see _PACK_CACHE)."""
+    key = (_plan_key(df), simp_levels)
+    hit = _PACK_CACHE.pop(key, None)
+    if hit is not None:
+        _PACK_CACHE[key] = hit  # LRU refresh
+        return hit
+    b = df.sparkSession.sparkContext.broadcast(_pack_curves(df, simp_levels))
+    _PACK_CACHE[key] = b
+    while len(_PACK_CACHE) > _PACK_CACHE_CAP:
+        _PACK_CACHE.pop(next(iter(_PACK_CACHE))).unpersist(blocking=False)
+    return b
+
+
+def clear_pack_cache(destroy: bool = False) -> None:
+    """Release every cached curve-pack broadcast (executor copies always;
+    driver values too with ``destroy=True`` — only safe once no lazy
+    DataFrame built against them will run again)."""
+    while _PACK_CACHE:
+        b = _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+        b.destroy() if destroy else b.unpersist(blocking=False)
+
+
 def _lookup(ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
     """Sorted-id -> row-index resolution with a loud miss guard (a miss
-    would silently gather another curve's buffers)."""
+    would silently gather another curve's buffers). Degenerate empty
+    batches (no candidates to resolve) return an empty index array
+    instead of tripping the guard."""
+    if vals.size == 0:
+        return np.empty(0, dtype=np.int64)
     idx = np.searchsorted(ids, vals)
+    if ids.size == 0:
+        raise KeyError("broadcast curve pack is missing candidate traj_ids")
     idx = np.minimum(idx, ids.size - 1)
-    if ids.size == 0 or not np.array_equal(ids[idx], vals):
+    if not np.array_equal(ids[idx], vals):
         raise KeyError("broadcast curve pack is missing candidate traj_ids")
     return idx
 
@@ -425,9 +476,9 @@ def _refine_map(
     kernels.batch.decide_pairs_arrow is cache-size-bound, not
     throughput-bound, so the knob exists for measurement, not tuning.
 
-    With ``bcast`` (a SparkContext broadcast of {"q": pack, "t": pack},
-    see _pack_curves) the incoming batches carry ONLY (query_id, traj_id)
-    id pairs — every curve array and simplification eps is gathered from
+    With ``bcast`` (a (query_pack, index_pack) pair of SparkContext
+    broadcasts, see _pack_curves/_pack_broadcast) the incoming batches
+    carry ONLY (query_id, traj_id) id pairs — every curve array and simplification eps is gathered from
     the shared broadcast buffers via sorted-id lookup, so the candidate
     join, the repartition shuffle AND the JVM->Python Arrow stream all
     move ~16 bytes per pair instead of the full ~(4 x n_points x 8)-byte
@@ -443,7 +494,10 @@ def _refine_map(
             decide_pairs_buffers,
         )
 
-        packs = bcast.value if bcast is not None else None
+        packs = None
+        if bcast is not None:
+            qb, tb = bcast
+            packs = {"q": qb.value, "t": tb.value}
         for rb in batches:
             B = rb.num_rows
             result = np.zeros(B, dtype=bool)
@@ -543,12 +597,18 @@ def _refine_map(
 REFINE_STATS_SCHEMA = "query_id long, traj_id long, stage string, accepted boolean"
 
 
+PORTAL_COLS = ("portal_src", "portal_dst", "portal_dist")
+
+
 def _array_cols(df: DataFrame) -> list[str]:
     """The per-curve array payload columns: xs/ys plus any simplification
-    level arrays (s{i}_xs/s{i}_ys) and their eps scalars."""
+    level arrays (s{i}_xs/s{i}_ys) and their eps scalars, plus the CFDQ
+    portal columns (unused by the K5 refine — a portal-enriched index in
+    broadcast-attach mode must not ship them through the candidate
+    join)."""
     out = []
     for c in df.columns:
-        if c in ("xs", "ys"):
+        if c in ("xs", "ys") or c in PORTAL_COLS:
             out.append(c)
         elif c.startswith("s") and (
             c.endswith("_xs") or c.endswith("_ys") or c.endswith("_eps")
@@ -573,10 +633,59 @@ def _est_broadcast_bytes(df: DataFrame) -> int:
     return pts * 16 * 3 + int(row["n"] or 0) * 64
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for the plan (file-size-based for
+    parquet scans) — free: no job runs. None when the JVM handle doesn't
+    expose stats (e.g. a mocked session)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().longValue()
+        )
+    except Exception:
+        return None
+
+
+def _payload_bytes_gated(df: DataFrame, thr: int) -> int:
+    """_est_broadcast_bytes with a known-large short-circuit: when
+    Catalyst's free plan-size estimate already exceeds 8x the broadcast
+    threshold, skip the full array-column scan and report the plan size
+    (any value > thr suffices — on-disk parquet of incompressible float
+    trajectories is ~1/3 the in-memory payload, so 8x leaves a wide
+    safety margin against compression). Keeps ``attach='auto'`` from
+    paying a full pass over a 100-TB table just to conclude 'shuffle'."""
+    plan_bytes = _plan_size_bytes(df)
+    if plan_bytes is not None and plan_bytes > 8 * thr:
+        return plan_bytes
+    return _est_broadcast_bytes(df)
+
+
+_BYTE_SUFFIXES = {
+    "k": 1024,
+    "m": 1024**2,
+    "g": 1024**3,
+    "t": 1024**4,
+    "p": 1024**5,
+}
+
+
+def _parse_byte_string(raw: str) -> int:
+    """Spark-style byte string: bare bytes or a k/m/g/t/p suffix with an
+    optional trailing 'b' (JavaUtils.byteStringAsBytes semantics: '10m',
+    '64K', '1gb'), case-insensitive."""
+    s = raw.strip().lower()
+    mult = 1
+    if s.endswith("b") and len(s) > 1 and s[-2] in _BYTE_SUFFIXES:
+        s = s[:-1]
+    if s and s[-1] in _BYTE_SUFFIXES:
+        mult = _BYTE_SUFFIXES[s[-1]]
+        s = s[:-1]
+    return int(s) * mult
+
+
 def _broadcast_threshold(spark) -> int:
     raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "33554432")
     try:
-        return max(int(raw), 0)
+        return max(_parse_byte_string(raw), 0)
     except ValueError:
         return 32 * 1024 * 1024
 
@@ -640,13 +749,18 @@ def range_query_grid(
     spark = index_df.sparkSession
     if attach == "auto":
         thr = _broadcast_threshold(spark)
-        attach = (
-            "broadcast"
-            if thr > 0
-            and _est_broadcast_bytes(index_df) <= thr
-            and _est_broadcast_bytes(queries) <= thr
-            else "shuffle"
-        )
+        attach = "shuffle"
+        if thr > 0:
+            # the index side's payload estimate is computed ONCE at build
+            # time and carried in meta (like salt) — the auto gate must
+            # not re-scan the array columns of a 100-TB table per query
+            d_bytes = meta.get("payload_bytes")
+            if d_bytes is None:
+                d_bytes = _payload_bytes_gated(index_df, thr)
+            if d_bytes <= thr and _payload_bytes_gated(queries, thr) <= thr:
+                attach = "broadcast"
+            elif meta.get("pack_path"):
+                attach = "pack"
     # funnel columns (Agarwal simplifications) ride along when the index
     # was enriched on BOTH sides
     simp_levels = 0
@@ -720,12 +834,12 @@ def range_query_grid(
         # simplification levels) travel once as a python broadcast of
         # packed buffers, not once per candidate pair — the join, the
         # repartition and the JVM->Python Arrow stream each move ~16
-        # bytes/pair instead of the ~4 KB/pair array payload
-        refine_bcast = spark.sparkContext.broadcast(
-            {
-                "q": _pack_curves(queries, simp_levels),
-                "t": _pack_curves(index_df, simp_levels),
-            }
+        # bytes/pair instead of the ~4 KB/pair array payload. Packs are
+        # LRU-cached per table (_pack_broadcast): repeated queries reuse
+        # one broadcast, eviction unpersists executor copies.
+        refine_bcast = (
+            _pack_broadcast(queries, simp_levels),
+            _pack_broadcast(index_df, simp_levels),
         )
         to_refine = ids.repartition(n_slots)
     else:
@@ -769,10 +883,11 @@ def _cfdq_refine_map(eps: float, simp_levels: int = 0):
     dataset curve's stored portals (K9/O4, columns portal_src/dst/dist)
     on the few funnel survivors. CFDQ's sparse interval walk is
     control-flow-heavy and stays scalar per pair, but it now sees only
-    funnel MAYBEs instead of every candidate; the per-survivor portal
-    jump map is built by slicing the flat Arrow buffers (the columns are
-    written src-sorted, dst-sorted within src — see enrich_with_portals/
-    compile_portals), not by a per-portal Python loop."""
+    funnel MAYBEs instead of every candidate; the per-survivor portals
+    are passed as flat (srcs, dsts, dists) slices of the Arrow buffers
+    (the columns are written src-sorted, dst-sorted within src — see
+    enrich_with_portals/compile_portals) and the kernel finds each row's
+    group with np.searchsorted — zero per-pair Python object churn."""
 
     def fn(batches):
         import pyarrow as pa
@@ -801,25 +916,15 @@ def _cfdq_refine_map(eps: float, simp_levels: int = 0):
                     t = np.column_stack(
                         [ftx[otx[r] : otx[r + 1]], fty[oty[r] : oty[r + 1]]]
                     )
-                    srcs = fps[ops[r] : ops[r + 1]]
-                    dsts = fpd[opd[r] : opd[r + 1]]
-                    dists = fpw[opw[r] : opw[r + 1]]
-                    portals: dict[int, list[tuple[int, int, float]]] = {}
-                    if srcs.size:
-                        # flat buffers are src-grouped (sorted) with dst
-                        # ascending inside each group: one np.unique gives
-                        # every group slice — no per-portal Python loop
-                        uniq, starts = np.unique(srcs, return_index=True)
-                        bounds = np.append(starts, srcs.size)
-                        for j, s in enumerate(uniq):
-                            lo, hi = int(bounds[j]), int(bounds[j + 1])
-                            portals[int(s)] = list(
-                                zip(
-                                    srcs[lo:hi].tolist(),
-                                    dsts[lo:hi].tolist(),
-                                    dists[lo:hi].tolist(),
-                                )
-                            )
+                    # the stored columns are src-sorted with dst ascending
+                    # inside each src group (compile_portals/O4), exactly
+                    # the kernel's flat interface: slice the Arrow buffers
+                    # and hand them over — zero per-pair Python objects
+                    portals = (
+                        fps[ops[r] : ops[r + 1]],
+                        fpd[opd[r] : opd[r + 1]],
+                        fpw[opw[r] : opw[r + 1]],
+                    )
                     # portals attach to the dataset curve -> CFDQ's p side
                     res[r] = decide_frechet_cfdq(
                         t, q, eps, base_query_delta=eps, portals=portals
