@@ -270,26 +270,84 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cos_e6(out: DataFrame) -> DataFrame:
+    """Quantize the cosine to integer micro-units for the value-hash
+    compare (see _q_ann_topk's stability note)."""
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("cosine") * 1_000_000).cast("long").alias("cosine_e6"),
+        "rank",
+    )
+
+
+def _ensure_ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Fit (or reload) the deterministic IVF centroid matrix for
+    ``sf_dir`` and persist it as a tiny (cell, centroid) parquet at the
+    path oracles.ivf_centroids_path names — the DuckDB oracle replays
+    the whole probe in SQL against these centroids (k-means itself is
+    not SQL-expressible; everything around it is)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    name = os.path.basename(sf_dir.rstrip("/"))
+    path = oracles.ivf_centroids_path(name)
+    npy = os.path.join(SNAPSHOT_ROOT, f"ivf_centroids_{name}.npy")
+    if os.path.exists(npy):
+        C = np.load(npy)
+    else:
+        os.makedirs(SNAPSHOT_ROOT, exist_ok=True)
+        C = similarity.ivf_fit_centroids(_emb(spark, sf_dir))
+        np.save(npy + ".tmp.npy", C)
+        os.replace(npy + ".tmp.npy", npy)
+    if not os.path.exists(path):
+        tbl = pa.table(
+            {
+                "cell": pa.array(range(C.shape[0]), type=pa.int64()),
+                "centroid": pa.array(
+                    [row.tolist() for row in C], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        pq.write_table(tbl, path + ".tmp.parquet")
+        os.replace(path + ".tmp.parquet", path)
+    return C
+
+
+def _q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory IVF ANN, graded against the SQL probe replay over the
+    persisted centroid parquet (oracles.ann_topk_ivf_sql)."""
+    _ensure_ivf_centroids(spark, sf_dir)
+    return _cos_e6(similarity.ann_topk_ivf(_emb(spark, sf_dir)))
+
+
 def _q_ann_topk_ivf_disk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF PARTITIONED spill layout graded end-to-end: embeddings
     written once partitioned by ivf_cell (multi-assign spill materialized
     on disk, centroids persisted next to the data), then the probe reads
     ONLY the probed ivf_cell=... directories (partition pruning — the
     100-TB read shape). Result matches ann_topk_ivf for the same
-    centroids/n_probe/n_assign (parity-tested)."""
+    centroids/n_probe/n_assign (parity-tested), so it shares the SQL
+    probe-replay oracle."""
     import numpy as np
 
     name = os.path.basename(sf_dir.rstrip("/"))
     root = os.path.join(SNAPSHOT_ROOT, f"ivf_{name}")
     data = os.path.join(root, "data")
     cents = os.path.join(root, "centroids.npy")
+    C_fit = _ensure_ivf_centroids(spark, sf_dir)
     if not os.path.exists(cents):
         os.makedirs(root, exist_ok=True)
-        C = similarity.ivf_write_partitioned(_emb(spark, sf_dir), data)
+        C = similarity.ivf_write_partitioned(
+            _emb(spark, sf_dir), data, centroids=C_fit
+        )
         # centroids last: their presence marks the layout complete
         np.save(cents + ".tmp.npy", C)
         os.replace(cents + ".tmp.npy", cents)
-    return similarity.ann_topk_ivf_partitioned(spark, data, np.load(cents))
+    return _cos_e6(
+        similarity.ann_topk_ivf_partitioned(spark, data, np.load(cents))
+    )
 
 
 def _q_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -376,7 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_props": lambda s, d: events_ops.props_extract(_events(s, d)),
         # similarity search (embeddings)
         "ann_topk": _q_ann_topk,
-        "ann_topk_ivf": lambda s, d: similarity.ann_topk_ivf(_emb(s, d)),
+        "ann_topk_ivf": _q_ann_topk_ivf,
         "ann_topk_ivf_disk": _q_ann_topk_ivf_disk,  # partitioned spill layout
         "neardup_lsh": lambda s, d: similarity.neardup_lsh(_emb(s, d)),
         # multimodal
@@ -384,9 +442,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": lambda s, d: multimodal.frame_sample(
             multimodal.synth_media(_docs(s, d))
         ),
+        # graded integer-exactly: bin 7's normalized ratio times its own
+        # denominator (the payload byte count) recovers the integer
+        # histogram count — see oracles.MEDIA_FEATURES_SQL
         "media_features": lambda s, d: multimodal.extract_features(
             multimodal.synth_media(_docs(s, d))
-        ).select("doc_id", F.element_at("features", 1).alias("f0")),
+        )
+        .join(
+            _docs(s, d).select(
+                "doc_id",
+                F.length(F.encode("text", "UTF-8"))
+                .cast("long")
+                .alias("n_bytes"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            F.round(F.element_at("features", 8) * F.col("n_bytes"))
+            .cast("long")
+            .alias("f7_cnt"),
+            "n_bytes",
+        ),
         "media_decode": lambda s, d: multimodal.decode_summary(_docs(s, d)),
         # FRV1 demux + per-frame PPM decode + sampling stride (real video
         # decode path; pix_sum keeps the oracle order-independent)
@@ -467,15 +544,19 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oracles.SIMHASH_SQL,
         "simhash_pairs": oracles.SIMHASH_PAIRS_SQL,
         "ann_topk": oracles.ANN_TOPK_SQL,
+        # IVF pair: the SQL replays multi-assign + probe + cosine top-k
+        # against the persisted centroid parquet (k-means itself is the
+        # only non-SQL step); the disk variant is parity-equal by test
+        "ann_topk_ivf": oracles.ANN_TOPK_IVF_SQL,
+        "ann_topk_ivf_disk": oracles.ANN_TOPK_IVF_SQL,
         # "neardup_lsh": seeded-hyperplane LSH — rows-only check
         #   (numpy-verified in tests/test_similarity.py)
         "media_meta": oracles.MEDIA_META_SQL,
         "frame_sample": oracles.FRAME_SAMPLE_SQL,
         "media_decode": oracles.MEDIA_DECODE_SQL,
         "frame_decode": oracles.FRAME_DECODE_SQL,
-        # "resize_images": numpy gather kernel — rows-only check
-        #   (nearest-neighbor parity verified in tests/test_multimodal.py)
-        # "media_features": binary-kernel op — rows-only check
+        "resize_images": oracles.RESIZE_IMAGES_SQL,
+        "media_features": oracles.MEDIA_FEATURES_SQL,
         "point_in_polygon": oracles.POINT_IN_POLYGON_SQL,
         "rasterize": oracles.RASTERIZE_SQL,
         "tile_pyramid": oracles.TILE_PYRAMID_SQL,

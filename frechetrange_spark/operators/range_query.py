@@ -476,13 +476,20 @@ def _refine_map(
     kernels.batch.decide_pairs_arrow is cache-size-bound, not
     throughput-bound, so the knob exists for measurement, not tuning.
 
-    With ``bcast`` (a (query_pack, index_pack) pair of SparkContext
-    broadcasts, see _pack_curves/_pack_broadcast) the incoming batches
-    carry ONLY (query_id, traj_id) id pairs — every curve array and simplification eps is gathered from
-    the shared broadcast buffers via sorted-id lookup, so the candidate
-    join, the repartition shuffle AND the JVM->Python Arrow stream all
-    move ~16 bytes per pair instead of the full ~(4 x n_points x 8)-byte
-    array payload per pair."""
+    With ``bcast`` (a (query_side, index_side) pair of attach SPECS) the
+    incoming batches carry ONLY (query_id, traj_id) id pairs — every
+    curve array and simplification eps is gathered via sorted-id lookup
+    from per-side packs instead of riding the pair rows, so the
+    candidate join, the repartition shuffle AND the JVM->Python Arrow
+    stream all move ~16 bytes per pair instead of the full
+    ~(4 x n_points x 8)-byte array payload per pair. Each spec is either
+    ``("bcast", broadcast)`` — the whole table packed in one SparkContext
+    broadcast (_pack_curves/_pack_broadcast) — or ``("disk", path)`` — a
+    co-partitioned curve-pack store (sources/pack_store): the worker
+    resolves the batch's unique ids to blocks via the store manifest and
+    gathers just those curves from mmapped npy blocks, so the big side
+    never transits the driver or a broadcast at all (the over-threshold
+    100-TB regime)."""
     chunk = int(os.environ.get("SPARK_GRAFT_KERNEL_CHUNK", "0"))
 
     def fn(batches):
@@ -494,20 +501,25 @@ def _refine_map(
             decide_pairs_buffers,
         )
 
-        packs = None
-        if bcast is not None:
-            qb, tb = bcast
-            packs = {"q": qb.value, "t": tb.value}
+        def _resolve(spec, ids_arr):
+            kind, v = spec
+            if kind == "bcast":
+                pack = v.value
+            else:
+                from frechetrange_spark.sources.pack_store import gather_pack
+
+                pack = gather_pack(v, np.unique(ids_arr), simp_levels)
+            return pack, _lookup(pack["ids"], ids_arr)
+
         for rb in batches:
             B = rb.num_rows
             result = np.zeros(B, dtype=bool)
             stage = np.full(B, "", dtype=object) if stats else None
             all_qid = rb.column("query_id").to_numpy(zero_copy_only=False)
             all_tid = rb.column("traj_id").to_numpy(zero_copy_only=False)
-            if packs is not None:
-                qpack, tpack = packs["q"], packs["t"]
-                qsel = _lookup(qpack["ids"], all_qid)
-                tsel = _lookup(tpack["ids"], all_tid)
+            if bcast is not None:
+                qpack, qsel = _resolve(bcast[0], all_qid)
+                tpack, tsel = _resolve(bcast[1], all_tid)
                 und = _simp_funnel_pairs(
                     qpack, tpack, qsel, tsel, eps, simp_levels, result, stage,
                     **({"chunk": chunk} if chunk else {}),
@@ -732,18 +744,30 @@ def range_query_grid(
     ``attach`` picks how the refine kernel's array inputs travel:
 
     - ``"shuffle"`` — arrays ride the candidate join and the round-robin
-      repartition (the only option when the curve table is too big to
-      broadcast: the 100-TB shape).
+      repartition (~4 KB/pair; always valid, never optimal past small
+      corpora).
     - ``"broadcast"`` — the candidate join and repartition move ONLY
       (query_id, traj_id) id pairs; both sides' arrays are attached
-      AFTER the shuffle by broadcast hash joins. Measured 1.4-2.7x
+      inside the kernel from broadcast curve packs. Measured 1.4-2.7x
       faster on the reference's real corpus (128-pt curves: the array
       shuffle was the scaling bottleneck, BENCH.md), identical results
       (tested). Valid while each curve table's array payload fits the
       broadcast threshold.
+    - ``"pack"`` — ids-only like broadcast, but the dataset side's
+      arrays come from the co-partitioned on-disk curve-pack store
+      written next to the index (meta['pack_path'], see
+      sources/pack_store + write_index(pack=True)): each executor
+      mmap-gathers only the curves its candidate batches touch — the
+      scale arm for tables PAST the broadcast threshold, where
+      "shuffle" would pay ~4 KB/pair and "broadcast" can't hold the
+      table. The query side still broadcasts when it fits (the common
+      big-data/bounded-queries shape) and falls back to the same store
+      for the self-join shape.
     - ``"auto"`` (default) — broadcast when BOTH sides' estimated array
-      payload (_est_broadcast_bytes: exact point counts x 16 B x 3
-      overhead) fits spark.sql.autoBroadcastJoinThreshold, else shuffle."""
+      payload (build-time meta['payload_bytes'] for the index side —
+      no per-query scan — with _est_broadcast_bytes/plan-stats gating
+      for the query side) fits spark.sql.autoBroadcastJoinThreshold;
+      else pack when the index carries a pack store; else shuffle."""
     from pyspark.sql import Observation
 
     spark = index_df.sparkSession
@@ -779,7 +803,8 @@ def range_query_grid(
         ]
         simp_levels += 1
 
-    if attach == "broadcast":
+    ids_only = attach in ("broadcast", "pack")
+    if ids_only:
         # candidates over scalar features only — no array bytes enter the
         # join or the repartition
         drop_d = [c for c in _array_cols(index_df) if not c.endswith("_eps")]
@@ -819,7 +844,7 @@ def range_query_grid(
     # repartition(n) is exempt from AQE coalescing and balances pair costs.
     n_slots = 2 * spark.sparkContext.defaultParallelism
     refine_bcast = None
-    if attach == "broadcast":
+    if ids_only:
         ids = cand.filter(~F.col("accept_f3")).select(
             F.col("q_traj_id").alias("query_id"), "traj_id"
         )
@@ -831,16 +856,40 @@ def range_query_grid(
                 observations["refine_input"], F.count(F.lit(1)).alias("n")
             )
         # ids-only all the way INTO the kernel: the curve arrays (and
-        # simplification levels) travel once as a python broadcast of
-        # packed buffers, not once per candidate pair — the join, the
+        # simplification levels) travel once per executor — as a python
+        # broadcast of packed buffers, or gathered from the mmapped
+        # curve-pack store — not once per candidate pair: the join, the
         # repartition and the JVM->Python Arrow stream each move ~16
-        # bytes/pair instead of the ~4 KB/pair array payload. Packs are
-        # LRU-cached per table (_pack_broadcast): repeated queries reuse
-        # one broadcast, eviction unpersists executor copies.
-        refine_bcast = (
-            _pack_broadcast(queries, simp_levels),
-            _pack_broadcast(index_df, simp_levels),
-        )
+        # bytes/pair instead of the ~4 KB/pair array payload. Broadcast
+        # packs are LRU-cached per table (_pack_broadcast): repeated
+        # queries reuse one broadcast, eviction unpersists executor
+        # copies.
+        if attach == "pack":
+            pack_path = meta.get("pack_path")
+            if not pack_path:
+                raise ValueError(
+                    "attach='pack' needs meta['pack_path'] — write the "
+                    "index with write_index(..., pack=True) or call "
+                    "pack_store.write_pack and set meta['pack_path']"
+                )
+            t_spec = ("disk", pack_path)
+            # query side: broadcast-pack when it fits (the common 100-TB
+            # shape: huge dataset, bounded query set); otherwise fall
+            # back to the SAME store — exact for the self-join shape
+            # (queries drawn from the indexed table); foreign over-
+            # threshold query tables raise the loud _lookup KeyError and
+            # need their own write_pack + meta['pack_path']
+            thr = _broadcast_threshold(spark)
+            if thr > 0 and _payload_bytes_gated(queries, thr) <= thr:
+                q_spec = ("bcast", _pack_broadcast(queries, simp_levels))
+            else:
+                q_spec = ("disk", pack_path)
+            refine_bcast = (q_spec, t_spec)
+        else:
+            refine_bcast = (
+                ("bcast", _pack_broadcast(queries, simp_levels)),
+                ("bcast", _pack_broadcast(index_df, simp_levels)),
+            )
         to_refine = ids.repartition(n_slots)
     else:
         to_refine = cand.filter(~F.col("accept_f3")).select(

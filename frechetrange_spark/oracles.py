@@ -651,6 +651,54 @@ FROM media
 """
 
 
+def _resize_images_sql(tw: int = 8, th: int = 8) -> str:
+    """Mirrors resize_images(synth_media_binary(docs), 8, 8) graded as a
+    per-image pixel sum: image rows (doc_id % 3 == 0) are IMG_W x IMG_H
+    PPMs whose source pixel at flat index i is (doc_id*7 + i*13) % 256
+    (_img_pixels); nearest-neighbor maps target (ty, tx) to source row
+    (ty*IMG_H)//th and column (tx*IMG_W)//tw — the same floor-gather the
+    numpy kernel's index arrays compute — so the resized pixel sum is a
+    closed-form integer aggregate."""
+    from frechetrange_spark.operators.multimodal import IMG_H, IMG_W
+
+    return f"""
+SELECT doc_id,
+       CAST({tw} AS BIGINT) AS width, CAST({th} AS BIGINT) AS height,
+       CAST(SUM((doc_id*7 + ((((ty*{IMG_H})//{th})*{IMG_W}
+                 + ((tx*{IMG_W})//{tw}))*3 + c)*13) % 256) AS BIGINT)
+         AS pix_sum
+FROM documents,
+     (SELECT unnest(generate_series(0, {th - 1})) AS ty) g1,
+     (SELECT unnest(generate_series(0, {tw - 1})) AS tx) g2,
+     (SELECT unnest(generate_series(0, 2)) AS c) g3
+WHERE doc_id % 3 = 0
+GROUP BY doc_id
+"""
+
+
+RESIZE_IMAGES_SQL = _resize_images_sql()
+
+# extract_features is a 16-bin high-nibble byte histogram over the
+# synth_media payload (= the document text's UTF-8 bytes), normalized.
+# Graded integer-exactly: bin 7's COUNT is recovered on the Spark side as
+# round(f7 * n_bytes) — the float ratio times its own denominator is
+# within 1e-10 of the integer count, so the round is exact — and the
+# oracle counts hex('7') at the high-nibble positions of the payload's
+# hex dump (byte i's high nibble is hex char 2i+1; DuckDB hex() is
+# uppercase, bin 7 is '7').
+MEDIA_FEATURES_SQL = """
+SELECT doc_id,
+       CAST(length(list_filter(generate_series(1, n),
+                               i -> substr(h, 2*i - 1, 1) = '7'))
+            AS BIGINT) AS f7_cnt,
+       CAST(n AS BIGINT) AS n_bytes
+FROM (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Spatial extension oracles: point-in-polygon, raster/vector tiles.
 # ---------------------------------------------------------------------------
@@ -741,3 +789,80 @@ SELECT query_id, vec_id,
        CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6, rank
 FROM r WHERE rank <= 5
 """
+
+
+def ivf_centroids_path(sf_name: str) -> str:
+    """Where the graded IVF queries persist their (deterministic, fixed-
+    seed k-means) centroid matrix as parquet so this oracle can replay
+    the probe in SQL. Must agree with __spark_entry__.SNAPSHOT_ROOT."""
+    return (
+        "/tmp/frechetrange_graded_snapshots_v1/"
+        f"ivf_centroids_{sf_name}.parquet"
+    )
+
+
+def ann_topk_ivf_sql(
+    centroids_path: str,
+    n_assign: int = 3,
+    n_probe: int = 8,
+    k: int = 5,
+    query_mod: int = 50,
+) -> str:
+    """IVF ANN oracle: replays similarity.ann_topk_ivf from first
+    principles — base-side multi-assign to the ``n_assign`` nearest
+    centroids (the spill), query-side ``n_probe`` probe set, candidates
+    = base vectors sharing >= 1 probed cell, exact cosine + top-k window
+    — reading the SAME centroid matrix the Spark side fit (persisted as
+    parquet by the graded query; k-means itself is not SQL, the probe
+    around it is). Centroid ranking ties break by cell id; the synthetic
+    embeddings are continuous so exact ties do not occur, and the
+    centroid-assignment margins dwarf the ~1e-15 cross-engine cosine
+    rounding (same argument as ANN_TOPK_SQL's quantization note).
+    ann_topk_ivf_partitioned returns the identical result set for the
+    same centroids (parity-tested), so one oracle serves both graded
+    rows."""
+    return f"""
+WITH cents AS (
+  SELECT cell, centroid FROM read_parquet('{centroids_path}')
+), base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), ba AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY list_cosine_similarity(b.e, c.centroid) DESC, c.cell
+           ) AS rn
+    FROM base b CROSS JOIN cents c
+  ) WHERE rn <= {n_assign}
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM base WHERE vec_id % {query_mod} = 0
+), qp AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, c.cell,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qe, c.centroid) DESC, c.cell
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id
+  FROM qp p JOIN ba a USING (cell)
+  WHERE a.vec_id <> p.query_id
+), s AS (
+  SELECT c.query_id, c.vec_id,
+         list_cosine_similarity(q.qe, b.e) AS cosine
+  FROM cand c JOIN q USING (query_id) JOIN base b USING (vec_id)
+), r AS (
+  SELECT query_id, vec_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+SELECT query_id, vec_id,
+       CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6, rank
+FROM r WHERE rank <= {k}
+"""
+
+
+ANN_TOPK_IVF_SQL = ann_topk_ivf_sql(ivf_centroids_path("sf0.01"))

@@ -27,9 +27,25 @@ _CORNERS = {
 }
 
 
-def write_index(index_df: DataFrame, path: str, meta: dict) -> None:
+def write_index(
+    index_df: DataFrame, path: str, meta: dict, pack: bool = False
+) -> None:
     """Write the grid index as a cell-clustered, bucket-sorted parquet
-    table plus a _meta.json (mesh, corner)."""
+    table plus a _meta.json (mesh, corner, salt, payload stats).
+
+    ``pack=True`` additionally writes the co-partitioned curve-pack
+    store (sources/pack_store: traj_id range-partitioned, id-sorted npy
+    blocks + manifest) under ``path/pack`` and records it as
+    meta['pack_path'] — the array-attach arm for indexes whose payload
+    exceeds the broadcast threshold (range_query_grid attach='pack')."""
+    if pack:
+        from frechetrange_spark.sources.pack_store import write_pack
+
+        pack_path = os.path.abspath(os.path.join(path, "pack"))
+        write_pack(
+            index_df, pack_path, payload_bytes=meta.get("payload_bytes")
+        )
+        meta = {**meta, "pack_path": pack_path}
     cx_col, cy_col = _CORNERS[meta["corner"]]
     spread = index_df.groupBy("cell_x", "cell_y").agg(
         (F.max(cx_col) - F.min(cx_col)).alias("_sx"),
