@@ -71,6 +71,87 @@ def choose_corner(curves: DataFrame, mesh: float) -> str:
     return counts[0]["corner"]
 
 
+def mesh_costs(
+    curves: DataFrame,
+    eps: float,
+    candidates: list[float],
+    corner: str = "min_min",
+) -> list[dict]:
+    """Expected candidate-join work per mesh candidate, computed from the
+    same cell statistics A4 uses — the reference fixes mesh by convention
+    (its own benchmark uses mesh = 10*eps, benchmark/benchmark.py:59) and
+    THROWS outside it (grid.hpp:125-127); here the workload model is
+    explicit. For each mesh m, with the dataset as its own query proxy
+    (the self-join/batch-workload shape):
+
+    - ``pairs`` = Σ_cells q_c * n_c — the exact equi-join output size of
+      grid_candidates BEFORE the F1/F2 predicates (q_c = exploded query
+      stencil rows landing in the cell, n_c = curves homed there):
+      the refine-side fan-out a too-coarse mesh explodes.
+    - ``exploded`` = Σ q_c — the query-side duplication a too-fine mesh
+      explodes (stencil radius grows as ceil(eps/m)).
+
+    cost = pairs + exploded; two cheap aggregation jobs per candidate,
+    run once at build time."""
+    from frechetrange_spark.operators.tiling import explode_neighbor_cells
+
+    cx_col, cy_col = _CORNERS[corner]
+    scalars = curves.select(cx_col, cy_col)
+    out = []
+    for m in candidates:
+        hist_d = (
+            scalars.select(
+                cell_coord(F.col(cx_col), m).alias("cell_x"),
+                cell_coord(F.col(cy_col), m).alias("cell_y"),
+            )
+            .groupBy("cell_x", "cell_y")
+            .agg(F.count("*").alias("n_c"))
+        )
+        hist_q = (
+            explode_neighbor_cells(
+                _q(scalars, "q_"), f"q_{cx_col}", f"q_{cy_col}", m, eps
+            )
+            .groupBy("cell_x", "cell_y")
+            .agg(F.count("*").alias("q_c"))
+        )
+        row = (
+            hist_q.join(hist_d, ["cell_x", "cell_y"])
+            .agg(F.sum(F.col("q_c") * F.col("n_c")).alias("pairs"))
+            .collect()[0]
+        )
+        # exploded counts the FULL stencil — rows landing in empty cells
+        # are still shuffled before the join drops them.
+        erow = hist_q.agg(F.sum("q_c").alias("exploded")).collect()[0]
+        pairs = int(row["pairs"] or 0)
+        exploded = int(erow["exploded"] or 0)
+        out.append(
+            {
+                "mesh": float(m),
+                "pairs": pairs,
+                "exploded": exploded,
+                "cost": pairs + exploded,
+            }
+        )
+    return out
+
+
+def choose_mesh(
+    curves: DataFrame,
+    eps: float,
+    candidates: list[float] | None = None,
+    corner: str = "min_min",
+) -> float:
+    """Pick the mesh minimizing the mesh_costs workload model over a
+    small eps-relative grid (default {1, 2, 5, 10, 20} * eps — brackets
+    the reference's own 10*eps convention); ties prefer the larger mesh
+    (fewer cells, smaller index histogram)."""
+    if candidates is None:
+        candidates = [eps * f for f in (1.0, 2.0, 5.0, 10.0, 20.0)]
+    costs = mesh_costs(curves, eps, candidates, corner)
+    best = min(costs, key=lambda c: (c["cost"], -c["mesh"]))
+    return best["mesh"]
+
+
 def choose_salt(
     index_df: DataFrame,
     parallelism: int,
@@ -113,9 +194,11 @@ def choose_salt(
 
 def build_grid_index(
     curves: DataFrame,
-    mesh: float,
+    mesh: float | None = None,
     corner: str | None = None,
     auto_salt: bool = True,
+    eps: float | None = None,
+    mesh_candidates: list[float] | None = None,
 ):
     """Attach the home-cell columns for the chosen corner. Returns
     (index_df, meta); meta carries mesh, corner, and — when ``auto_salt``
@@ -127,14 +210,39 @@ def build_grid_index(
     its attach arm from build-time stats instead of re-scanning the
     array columns per query. At scale, write ``index_df``
     partitioned/bucketed by (cell_x, cell_y) so the query join prunes
-    partitions (sources/index_table.py persists meta too)."""
+    partitions (sources/index_table.py persists meta too).
+
+    ``mesh=None`` selects the mesh from corpus statistics via
+    ``choose_mesh`` (requires ``eps``, the expected query threshold) —
+    the reference fixes mesh by convention (mesh = 10*eps in its own
+    benchmark, benchmark/benchmark.py:59) where this engine measures the
+    candidate-join workload per candidate mesh and argmins, the same
+    Σ-bucket statistic shape as the A4/A5 corner choice. The chosen
+    value and the flag land in meta (``mesh_auto``)."""
+    mesh_auto = mesh is None
+    if mesh_auto:
+        if eps is None:
+            raise ValueError(
+                "build_grid_index(mesh=None) auto-selects the mesh from the "
+                "expected query threshold: pass eps="
+            )
+        if corner is None:
+            # Probe corner at the reference's conventional mesh; the corner
+            # statistic (argmin Σ bucket²) is about corpus shape, not mesh.
+            corner = choose_corner(curves, 10.0 * float(eps))
+        mesh = choose_mesh(curves, float(eps), mesh_candidates, corner)
     if corner is None:
         corner = choose_corner(curves, mesh)
     cx_col, cy_col = _CORNERS[corner]
     index_df = curves.withColumn(
         "cell_x", cell_coord(F.col(cx_col), mesh)
     ).withColumn("cell_y", cell_coord(F.col(cy_col), mesh))
-    meta: dict = {"mesh": float(mesh), "corner": corner, "salt": None}
+    meta: dict = {
+        "mesh": float(mesh),
+        "corner": corner,
+        "salt": None,
+        "mesh_auto": mesh_auto,
+    }
     if auto_salt:
         meta["salt"] = choose_salt(
             index_df, index_df.sparkSession.sparkContext.defaultParallelism

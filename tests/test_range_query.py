@@ -313,3 +313,67 @@ def test_symmetric_self_join_identical(spark):
         )
     )
     assert sym == plain
+
+
+class TestAutoMesh:
+    """mesh=None workload-model selection (A4/A5-style argmin over an
+    eps-relative mesh grid; the reference pins mesh=10*eps by convention,
+    benchmark/benchmark.py:59)."""
+
+    def test_mesh_costs_pairs_is_exact_join_size(self, spark, corpus):
+        """The `pairs` statistic must equal the ACTUAL equi-join output
+        size of grid_candidates before the F1/F2 predicates — it is a
+        histogram identity, not an estimate."""
+        from frechetrange_spark.operators.range_query import (
+            _CORNERS,
+            cell_coord,
+            mesh_costs,
+        )
+        from frechetrange_spark.operators.tiling import explode_neighbor_cells
+
+        eps, mesh = 15.0, 30.0
+        costs = mesh_costs(corpus, eps, [mesh], corner="min_min")
+        cx, cy = _CORNERS["min_min"]
+        homes = corpus.select(
+            cell_coord(F.col(cx), mesh).alias("cell_x"),
+            cell_coord(F.col(cy), mesh).alias("cell_y"),
+        )
+        q = corpus.select(F.col(cx).alias(f"q_{cx}"), F.col(cy).alias(f"q_{cy}"))
+        stencil = explode_neighbor_cells(q, f"q_{cx}", f"q_{cy}", mesh, eps)
+        direct = stencil.join(homes, ["cell_x", "cell_y"]).count()
+        assert costs[0]["pairs"] == direct
+        assert costs[0]["exploded"] == stencil.count()
+
+    def test_choose_mesh_deterministic_and_in_candidates(self, spark, corpus):
+        from frechetrange_spark.operators.range_query import choose_mesh
+
+        eps = 15.0
+        cands = [eps * f for f in (1.0, 2.0, 5.0, 10.0, 20.0)]
+        m1 = choose_mesh(corpus, eps, corner="min_min")
+        m2 = choose_mesh(corpus, eps, corner="min_min")
+        assert m1 == m2
+        assert m1 in cands
+
+    def test_build_auto_mesh_matches_bruteforce(self, spark, corpus):
+        """build_grid_index(mesh=None, eps=...) must return the same
+        result set as any pinned mesh (grid is only a candidate filter)."""
+        from frechetrange_spark.operators.range_query import (
+            build_grid_index,
+            range_query_bruteforce,
+            range_query_grid,
+        )
+
+        eps = 15.0
+        queries = corpus.filter(F.col("traj_id") % 50 == 0)
+        truth = _pairs(range_query_bruteforce(corpus, queries, eps))
+        idx, meta = build_grid_index(corpus, mesh=None, eps=eps)
+        assert meta["mesh_auto"] is True
+        assert meta["mesh"] > 0
+        got = _pairs(range_query_grid(idx, queries, eps, meta))
+        assert got == truth
+
+    def test_mesh_none_without_eps_raises(self, spark, corpus):
+        from frechetrange_spark.operators.range_query import build_grid_index
+
+        with pytest.raises(ValueError):
+            build_grid_index(corpus, mesh=None)
