@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -25,6 +26,28 @@ _CORNERS = {
     "max_min": ("max_x", "min_y"),
     "max_max": ("max_x", "max_y"),
 }
+
+
+def _o1_sorted(index_df: DataFrame, corner: str) -> DataFrame:
+    """Cluster by cell and sort within partitions by the per-cell border
+    dimension with the wider spread (O1, grid.hpp:226-283) so parquet
+    row-group min/max stats give O2's active-range skipping."""
+    cx_col, cy_col = _CORNERS[corner]
+    spread = index_df.groupBy("cell_x", "cell_y").agg(
+        (F.max(cx_col) - F.min(cx_col)).alias("_sx"),
+        (F.max(cy_col) - F.min(cy_col)).alias("_sy"),
+    )
+    sort_val = F.when(F.col("_sx") >= F.col("_sy"), F.col(cx_col)).otherwise(
+        F.col(cy_col)
+    )
+    return (
+        index_df.join(F.broadcast(spread), ["cell_x", "cell_y"])
+        .withColumn("_sort", sort_val)
+        .drop("_sx", "_sy")
+        .repartition("cell_x", "cell_y")
+        .sortWithinPartitions("cell_x", "cell_y", "_sort")
+        .drop("_sort")
+    )
 
 
 def write_index(
@@ -46,24 +69,8 @@ def write_index(
             index_df, pack_path, payload_bytes=meta.get("payload_bytes")
         )
         meta = {**meta, "pack_path": pack_path}
-    cx_col, cy_col = _CORNERS[meta["corner"]]
-    spread = index_df.groupBy("cell_x", "cell_y").agg(
-        (F.max(cx_col) - F.min(cx_col)).alias("_sx"),
-        (F.max(cy_col) - F.min(cy_col)).alias("_sy"),
-    )
-    # O1: per-cell sort dimension = the wider-spread one (grid.hpp:226-283)
-    sort_val = F.when(F.col("_sx") >= F.col("_sy"), F.col(cx_col)).otherwise(
-        F.col(cy_col)
-    )
-    (
-        index_df.join(F.broadcast(spread), ["cell_x", "cell_y"])
-        .withColumn("_sort", sort_val)
-        .drop("_sx", "_sy")
-        .repartition("cell_x", "cell_y")
-        .sortWithinPartitions("cell_x", "cell_y", "_sort")
-        .drop("_sort")
-        .write.mode("overwrite")
-        .parquet(os.path.join(path, "data"))
+    _o1_sorted(index_df, meta["corner"]).write.mode("overwrite").parquet(
+        os.path.join(path, "data")
     )
     tmp = os.path.join(path, "_meta.json.tmp")
     with open(tmp, "w") as f:
@@ -77,3 +84,43 @@ def read_index(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     with open(os.path.join(path, "_meta.json")) as f:
         meta = json.load(f)
     return spark.read.parquet(os.path.join(path, "data")), meta
+
+
+def compact_index(
+    spark: SparkSession, path: str, corner: str | None = None
+) -> None:
+    """O3 compaction: rewrite an index table so every file is back in the
+    O1 per-cell bucket-sorted layout.
+
+    Streaming ingest (streaming/ingest.py) appends micro-batch files with
+    the correct cell semantics but WITHOUT the bucket sort, so O2's
+    row-group min/max skipping degrades as the appended fraction grows.
+    The reference keeps buckets sorted on every post-build insert
+    (dv/grid.hpp:399-407 upper_bound insert); in Spark the idiomatic twin
+    is a periodic compaction pass — the same trade Delta/Iceberg make for
+    sorted tables (OPTIMIZE ... ZORDER). Run it foreachBatch-compatible:
+    after N appended epochs, or from a maintenance job.
+
+    ``path`` is either a write_index layout (has ``_meta.json``; the
+    corner comes from meta) or a bare parquet dir of index rows (pass
+    ``corner``). The rewrite goes to a sibling temp dir first and swaps in
+    atomically, so concurrent readers see the old or the new layout, never
+    a partial one.
+    """
+    meta_file = os.path.join(path, "_meta.json")
+    if os.path.exists(meta_file):
+        with open(meta_file) as f:
+            corner = json.load(f)["corner"]
+        data_dir = os.path.join(path, "data")
+    elif corner is None:
+        raise ValueError("bare index dir needs an explicit corner=")
+    else:
+        data_dir = path
+    tmp = data_dir.rstrip("/") + "._compact"
+    _o1_sorted(spark.read.parquet(data_dir), corner).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    old = data_dir.rstrip("/") + "._old"
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
+    shutil.rmtree(old)

@@ -176,8 +176,14 @@ class TestIndexTable:
         write_index(idx, path, meta)
         idx2, meta2 = read_index(spark, path)
         # meta round-trips in full (incl. the auto-chosen salt: None on
-        # this uniform corpus)
-        assert meta2 == {"mesh": 15.0, "corner": "min_min", "salt": None}
+        # this uniform corpus, and the build-time stats the attach gate
+        # and mesh audit read)
+        assert meta2 == meta
+        assert meta2["mesh"] == 15.0
+        assert meta2["corner"] == "min_min"
+        assert meta2["salt"] is None
+        assert meta2["mesh_auto"] is False
+        assert meta2["payload_bytes"] > 0
         assert idx2.count() == curves.count()
         assert sorted(idx2.columns) == sorted(idx.columns)
         q = curves.filter(F.col("traj_id") % 20 == 0)

@@ -51,6 +51,108 @@ def test_stream_built_index_equals_batch_built(spark, tmp_path):
     assert a.equals(b)
 
 
+def test_compaction_restores_o1_layout(spark, tmp_path):
+    """O3 compaction: a stream-appended index (correct cells, files NOT
+    bucket-sorted) compacted by compact_index equals the batch
+    write_index layout — the multiset of per-file (cell_x, cell_y,
+    border-sort-value) sequences is identical, every row group carries
+    min/max stats on the cell columns, and queries are unchanged. This is
+    the Spark twin of the reference's sorted post-build insert
+    (dv/grid.hpp:399-407): appends land fast/unsorted, a periodic
+    compaction re-establishes O1 so O2's row-group skipping survives
+    sustained ingest."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from frechetrange_spark.operators.range_query import range_query_grid
+    from frechetrange_spark.sources.index_table import (
+        compact_index,
+        write_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    curves = assemble_curves(points_from_text(docs)).persist()
+    idx, meta = build_grid_index(
+        curves, 15.0, corner="min_min", auto_salt=False
+    )
+
+    # batch-built reference layout
+    batch_path = str(tmp_path / "batch_index")
+    write_index(idx, batch_path, meta)
+
+    # simulated sustained ingest: two appends, neither bucket-sorted
+    # (exactly what streaming/ingest.py's foreachBatch writes)
+    appended = str(tmp_path / "appended")
+    idx.filter("traj_id % 2 = 0").write.mode("append").parquet(appended)
+    idx.filter("traj_id % 2 = 1").write.mode("append").parquet(appended)
+
+    compact_index(spark, appended, corner="min_min")
+
+    # the chosen per-cell sort dimension, recomputed independently
+    import pandas as pd
+
+    feats = idx.select(
+        "traj_id", "cell_x", "cell_y", "min_x", "min_y"
+    ).toPandas()
+    spread = feats.groupby(["cell_x", "cell_y"]).agg(
+        sx=("min_x", lambda s: s.max() - s.min()),
+        sy=("min_y", lambda s: s.max() - s.min()),
+    )
+    use_x = (spread["sx"] >= spread["sy"]).to_dict()
+
+    def layout(d):
+        """Per-file sequence of (cell, border-sort-value) keys — the
+        order-deterministic part of the O1 layout (row ties under equal
+        sort keys may permute)."""
+        seqs = []
+        for f in sorted(glob.glob(d + "/part-*.parquet")):
+            t = pq.read_table(
+                f, columns=["cell_x", "cell_y", "min_x", "min_y"]
+            ).to_pandas()
+            keys = [
+                (
+                    r.cell_x,
+                    r.cell_y,
+                    r.min_x if use_x[(r.cell_x, r.cell_y)] else r.min_y,
+                )
+                for r in t.itertuples()
+            ]
+            assert keys == sorted(keys), f"file {f} not O1-sorted"
+            seqs.append(tuple(keys))
+        return sorted(seqs)
+
+    assert layout(appended) == layout(batch_path + "/data")
+
+    # every row group exposes min/max stats on the clustering columns
+    for f in glob.glob(appended + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        names = {
+            md.row_group(0).column(i).path_in_schema
+            for i in range(md.row_group(0).num_columns)
+        }
+        for rg in range(md.num_row_groups):
+            for i in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(i)
+                if col.path_in_schema in ("cell_x", "cell_y", "min_x", "min_y"):
+                    assert col.statistics is not None
+                    assert col.statistics.has_min_max
+
+    # queries over the compacted table are unchanged
+    q = curves.filter(F.col("traj_id") % 20 == 0)
+    got = set(
+        map(
+            tuple,
+            range_query_grid(
+                spark.read.parquet(appended), q, 15.0, meta
+            ).collect(),
+        )
+    )
+    exp = set(map(tuple, range_query_grid(idx, q, 15.0, meta).collect()))
+    assert got == exp and len(got) > 0
+    curves.unpersist()
+
+
 def test_checkpoint_resume_skips_completed_stage(spark, tmp_path):
     root = str(tmp_path / "pipe")
     calls = {"n": 0}
