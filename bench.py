@@ -10,13 +10,15 @@ Default mode prints exactly ONE JSON line on stdout:
 Each query is materialized with a `noop` sink (full execution, no driver
 collect) so the measured time is the distributed plan, not row transfer.
 
-Other modes:
-
 Default-mode trials run as INTERLEAVED suite rounds (loop the whole
-query list N times, min per query across rounds) with one same-process
-CPU-quota probe per round, so a throttled sandbox window shows up in
-``calib_flop_per_round`` instead of masquerading as an engine
-regression (the BENCH_r03 false alarm).
+query list N times, min per query across rounds), each round BRACKETED
+by same-process CPU-quota probes, so a throttled sandbox window shows
+up in ``calib_flop_per_round`` instead of masquerading as an engine
+regression (the BENCH_r03 false alarm). Each trial is ALSO reported
+quota-normalized (trial_sec * bracketing_probe_mean / CALIB_REF, i.e.
+the seconds the query would take at the pinned reference window) in
+``queries_normalized`` / ``normalized_total`` — those are the numbers
+to compare ACROSS rounds; raw seconds stay primary vs BASELINE.
 
 Other modes:
 
@@ -55,6 +57,18 @@ MESH = 15.0
 # overhead and the sandbox's CPU-quota burst credits — it measures
 # sustained throughput, which is what a 100 TB deployment sees.
 SCALING_EPS = float(os.environ.get("SPARK_GRAFT_SCALING_EPS", "18.0"))
+# Reference calibration rate (units/s of the _calib_probe workload) that
+# normalized timings are expressed against: the unthrottled ceiling of the
+# PRE-WARMED best-of-2 probe at 32 procs, measured in the round-5 builder
+# session (max 120.5 over 12 samples spanning several quota windows; the
+# old cold-fork probe's 43.6 is not comparable — fork+page-fault tax).
+# A trial taken in a throttled window has inflated seconds AND a
+# proportionally depressed same-round probe, so trial_sec * calib_rate /
+# CALIB_REF cancels the sandbox quota to first order — normalized numbers
+# are comparable across rounds where raw seconds are not (each driver
+# round runs in an unknown quota window). Raw seconds stay primary for
+# BASELINE comparison.
+CALIB_REF = float(os.environ.get("SPARK_GRAFT_CALIB_REF", "120.0"))
 
 
 def _sf_of(path: str) -> float:
@@ -63,6 +77,12 @@ def _sf_of(path: str) -> float:
         return float(tail.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    m = len(s) // 2
+    return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
 
 
 def _materialize(df) -> None:
@@ -96,9 +116,17 @@ def _calib_probe() -> float:
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     with mp.Pool(CPUS) as pool:
-        t0 = time.perf_counter()
+        # warm pass: fork + first-touch page faults are a sandbox tax that
+        # otherwise reads as a 4-6x "throttled" probe while the engine's
+        # (long-lived, pre-warmed) workers run at full speed
+        pool.map(_calib_warm, range(CPUS))
         pool.map(_flop_work, range(CPUS))
-        return round(CPUS / (time.perf_counter() - t0), 2)
+        best = 0.0
+        for _ in range(2):  # best-of-2: slowdowns only ever inflate
+            t0 = time.perf_counter()
+            pool.map(_flop_work, range(CPUS))
+            best = max(best, round(CPUS / (time.perf_counter() - t0), 2))
+        return best
 
 
 def run_bench() -> dict:
@@ -152,7 +180,29 @@ def run_bench() -> dict:
             # release caches persisted inside the query builders so later
             # trials/queries aren't taxed by earlier memory footprint
             spark.catalog.clearCache()
+    # closing probe: round i is BRACKETED by calib_rounds[i] and [i+1],
+    # and its quota estimate is their mean — the quota drifts on
+    # timescales shorter than a suite round, so one leading sample is a
+    # biased estimate of the window the round actually ran in
+    calib_rounds.append(_calib_probe())
+    round_rate = [
+        (calib_rounds[i] + calib_rounds[i + 1]) / 2.0 for i in range(trials)
+    ]
     timings = {name: min(per) for name, per in all_trials.items()}
+    # Quota-normalized view: scale each trial by its OWN round's bracketed
+    # probe mean so a throttled round's inflated seconds are divided back
+    # out, then aggregate like the raw view.
+    norm_trials = {
+        name: [
+            round(t * round_rate[i] / CALIB_REF, 3)
+            for i, t in enumerate(per)
+        ]
+        for name, per in all_trials.items()
+    }
+    # median, not min: normalization noise is two-sided (the probe and the
+    # query sample the drifting quota seconds apart), so min would
+    # cherry-pick rounds where the probe was unluckier than the query
+    timings_norm = {name: _median(per) for name, per in norm_trials.items()}
 
     n_queries = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -179,9 +229,20 @@ def run_bench() -> dict:
             "aggregate": "min",
             "ordering": "interleaved_suite_rounds",
             "warmup": ["jvm", "python_workers", "range_self_join_untimed"],
-            "calib_workload": f"{CPUS}-way pool of single-thread 600x600 matmuls",
+            "calib_workload": f"{CPUS}-way pool of single-thread 600x600 matmuls"
+            " (pool pre-warmed, best-of-2)",
+            "normalized_aggregate": "median of trial*bracketed_calib_mean"
+            "/calib_ref; calib list has trials+1 entries (rounds are"
+            " bracketed)",
         },
         "calib_flop_per_round": calib_rounds,
+        # normalized = raw_sec * same_round_calib / CALIB_REF: seconds the
+        # query would take at the reference quota window (calib_ref units/s)
+        # — comparable ACROSS rounds/windows; raw seconds stay primary.
+        "normalized_total": round(sum(timings_norm.values()), 3),
+        "queries_normalized": timings_norm,
+        "query_trials_normalized": norm_trials,
+        "calib_ref": CALIB_REF,
         "query_trials": all_trials,
         "sf": _sf_of(SF_DIR),
         "parallelism": CPUS,
