@@ -866,3 +866,65 @@ FROM r WHERE rank <= {k}
 
 
 ANN_TOPK_IVF_SQL = ann_topk_ivf_sql(ivf_centroids_path("sf0.01"))
+
+
+def lsh_hyperplanes_path(dim: int = 64) -> str:
+    """Where the graded neardup_lsh query persists its (fixed-seed)
+    random-hyperplane matrix as parquet so this oracle can replay the
+    signature/band pipeline in SQL. Seed-deterministic, so one file
+    serves every scale factor. Must agree with
+    __spark_entry__.SNAPSHOT_ROOT."""
+    return (
+        "/tmp/frechetrange_graded_snapshots_v1/"
+        f"lsh_hyperplanes_{dim}.parquet"
+    )
+
+
+def neardup_lsh_sql(
+    hyperplanes_path: str,
+    tau: float = 0.45,
+    band_bits: int = 2,
+) -> str:
+    """Vector near-dup LSH oracle: replays similarity.neardup_lsh from
+    first principles against the SAME hyperplane matrix the Spark side
+    drew (persisted as parquet by the graded query; the random draw is
+    the only non-SQL step). Signature bit b = sign of the hyperplane dot
+    product; bands of ``band_bits`` consecutive bits; candidates = pairs
+    sharing >= 1 (band_id, band_val) bucket; every candidate verified
+    with an exact cosine >= tau. Stability: bit signs have O(1) margins
+    (standard-normal hyperplanes against unit-scale embeddings) and the
+    verify threshold sits ~2e-5+ away from any corpus cosine (same
+    measurement as ANN_TOPK_SQL), both dwarfing the ~1e-15 cross-engine
+    summation-order error; the cosine is quantized to micro-units for
+    the exact-typed value hash."""
+    return f"""
+WITH h AS (
+  SELECT bit, w FROM read_parquet('{hyperplanes_path}')
+), base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), bits AS (
+  SELECT b.vec_id, h.bit,
+         CASE WHEN list_dot_product(b.e, h.w) > 0.0 THEN 1 ELSE 0 END AS bv
+  FROM base b CROSS JOIN h
+), bands AS (
+  SELECT vec_id, bit // {band_bits} AS band_id,
+         CAST(SUM(bv << (bit % {band_bits})) AS BIGINT) AS band_val
+  FROM bits GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+  FROM bands a JOIN bands b USING (band_id, band_val)
+  WHERE a.vec_id < b.vec_id
+), s AS (
+  SELECT c.vec_id_1, c.vec_id_2,
+         list_cosine_similarity(e1.e, e2.e) AS cosine
+  FROM cand c
+  JOIN base e1 ON e1.vec_id = c.vec_id_1
+  JOIN base e2 ON e2.vec_id = c.vec_id_2
+)
+SELECT vec_id_1, vec_id_2,
+       CAST(round(cosine * 1000000) AS BIGINT) AS cosine_e6
+FROM s WHERE cosine >= {tau}
+"""
+
+
+NEARDUP_LSH_SQL = neardup_lsh_sql(lsh_hyperplanes_path())
