@@ -199,10 +199,15 @@ def run_bench() -> dict:
         ]
         for name, per in all_trials.items()
     }
-    # median, not min: normalization noise is two-sided (the probe and the
-    # query sample the drifting quota seconds apart), so min would
-    # cherry-pick rounds where the probe was unluckier than the query
-    timings_norm = {name: _median(per) for name, per in norm_trials.items()}
+    # min, not median: throttle spikes that hit a long query but miss BOTH
+    # bracketing probes inflate that trial's normalized value one-sidedly
+    # (the probes can't deflate below the window mean by the same margin),
+    # so median carries the contamination while min keeps the trial where
+    # probe and query saw the same machine state. Measured on two deliberate
+    # runs in a 1.79x-apart quota window pair (BENCH.md "Quota normalization
+    # demo"): median left 1.51x residual spread, min left 1.03x.
+    timings_norm = {name: min(per) for name, per in norm_trials.items()}
+    timings_norm_med = {name: _median(per) for name, per in norm_trials.items()}
 
     n_queries = (
         spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -231,15 +236,16 @@ def run_bench() -> dict:
             "warmup": ["jvm", "python_workers", "range_self_join_untimed"],
             "calib_workload": f"{CPUS}-way pool of single-thread 600x600 matmuls"
             " (pool pre-warmed, best-of-2)",
-            "normalized_aggregate": "median of trial*bracketed_calib_mean"
-            "/calib_ref; calib list has trials+1 entries (rounds are"
-            " bracketed)",
+            "normalized_aggregate": "min of trial*bracketed_calib_mean"
+            "/calib_ref (median emitted as *_median); calib list has"
+            " trials+1 entries (rounds are bracketed)",
         },
         "calib_flop_per_round": calib_rounds,
         # normalized = raw_sec * same_round_calib / CALIB_REF: seconds the
         # query would take at the reference quota window (calib_ref units/s)
         # — comparable ACROSS rounds/windows; raw seconds stay primary.
         "normalized_total": round(sum(timings_norm.values()), 3),
+        "normalized_total_median": round(sum(timings_norm_med.values()), 3),
         "queries_normalized": timings_norm,
         "query_trials_normalized": norm_trials,
         "calib_ref": CALIB_REF,
