@@ -104,8 +104,10 @@ def compact_index(
     ``path`` is either a write_index layout (has ``_meta.json``; the
     corner comes from meta) or a bare parquet dir of index rows (pass
     ``corner``). The rewrite goes to a sibling temp dir first and swaps in
-    atomically, so concurrent readers see the old or the new layout, never
-    a partial one.
+    via two renames, so a reader sees the old or the new layout, never a
+    half-written one (there is a sub-ms window between the renames where
+    the dir is absent — a table-format pointer swap, e.g. an Iceberg
+    snapshot commit, closes even that on a real deployment).
     """
     meta_file = os.path.join(path, "_meta.json")
     if os.path.exists(meta_file):
