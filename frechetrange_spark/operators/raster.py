@@ -45,8 +45,16 @@ def tile_pyramid(
 ) -> DataFrame:
     """(level, cell_x, cell_y, n_points) for levels 0..max_level, built by
     parent rollup from the finest level (one scan of the input)."""
-    finest = rasterize_points(points, base_mesh, max_level).withColumn(
-        "level", F.lit(max_level).cast("long")
+    # Eagerly materialize the finest level: every coarser level and the
+    # final union branch from it, so without the cut the POINT TABLE
+    # (reconstruction + rasterize exchange) would be recomputed once per
+    # union branch — 4x the dominant cost at max_level=3. The finest cell
+    # table itself is tiny (one row per occupied cell), so the
+    # localCheckpoint is one cheap job and its blocks die with the frame.
+    finest = (
+        rasterize_points(points, base_mesh, max_level)
+        .withColumn("level", F.lit(max_level).cast("long"))
+        .localCheckpoint()
     )
     levels = [finest]
     cur = finest

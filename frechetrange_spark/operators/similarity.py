@@ -361,6 +361,7 @@ def ann_topk_ivf_partitioned(
     k: int = 5,
     query_mod: int = 50,
     n_probe: int = 8,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe over the ``ivf_write_partitioned`` layout: the union of
     all queries' probe cells becomes a PARTITION FILTER on the scan (only
@@ -368,13 +369,26 @@ def ann_topk_ivf_partitioned(
     scores only the rows of its own probe cells. Returns exactly
     ``ann_topk_ivf``'s result for the same centroids/n_probe/n_assign
     (parity-tested): the on-disk spill layout replaces the in-kernel
-    multi-assign, trading ``n_assign``x storage for file pruning."""
+    multi-assign, trading ``n_assign``x storage for file pruning.
+
+    ``queries``: the (vec_id, embedding) source to draw the query set
+    from. Pass the SOURCE embeddings table (or any small dedicated query
+    table) so the partitioned store is only ever read with the partition
+    filter — without it the query collection falls back to scanning
+    every ``ivf_cell=`` directory of the store just to find ~N/query_mod
+    vectors, which defeats the pruned-read shape at scale (the store's
+    float64 copies of the float32 source values are bit-identical, so
+    the result set is unchanged either way)."""
     Cn = _normalize_rows(centroids)
     base = spark.read.parquet(path)
+    qsrc = (
+        queries
+        if queries is not None
+        else base.dropDuplicates(["vec_id"])
+    )
     qdf = (
-        base.filter(F.col("vec_id") % query_mod == 0)
+        qsrc.filter(F.col("vec_id") % query_mod == 0)
         .select("vec_id", "embedding")
-        .dropDuplicates(["vec_id"])
         .orderBy("vec_id")
         .toPandas()
     )

@@ -281,3 +281,38 @@ def test_ivf_partitioned_dedups_spill_copies_within_batch(spark, tmp_path):
             spark.conf.set("spark.sql.files.minPartitionNum", prev)
     assert list(got["vec_id"]) == [1, 2]
     assert list(got["rank"]) == [1, 2]
+
+
+def test_ivf_partitioned_query_set_from_source_prunes_all_store_scans(
+    spark, emb, tmp_path
+):
+    """r06: with ``queries=`` (the source embeddings table), the
+    partitioned store appears in the probe plan ONLY behind its
+    ivf_cell partition filter — the old fallback collected the query set
+    with an unpruned full scan of the store first. Results are identical
+    (the store's float64 copies of the float32 source are exact)."""
+    import numpy as np
+
+    from frechetrange_spark.operators.similarity import (
+        ann_topk_ivf_partitioned,
+        ivf_write_partitioned,
+    )
+
+    path = str(tmp_path / "ivf_src")
+    C = ivf_write_partitioned(emb, path, n_cells=16, n_assign=2)
+    got = ann_topk_ivf_partitioned(
+        spark, path, C, k=5, query_mod=50, n_probe=4, queries=emb
+    )
+    # the probe plan's ONLY file scan is the store, and it is
+    # partition-filtered; the query set was collected eagerly from the
+    # source table, so no unpruned store scan exists anywhere
+    phys = got._jdf.queryExecution().executedPlan().toString()
+    store_scans = [ln for ln in phys.splitlines() if "FileScan" in ln]
+    assert len(store_scans) == 1, phys
+    assert "PartitionFilters: [ivf_cell" in store_scans[0]
+    fallback = ann_topk_ivf_partitioned(
+        spark, path, C, k=5, query_mod=50, n_probe=4
+    )
+    a = got.orderBy("query_id", "rank").toPandas()
+    b = fallback.orderBy("query_id", "rank").toPandas()
+    assert a.equals(b)
