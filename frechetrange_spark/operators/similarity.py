@@ -453,6 +453,8 @@ def neardup_lsh(emb: DataFrame, tau: float = 0.45, dim: int = 64) -> DataFrame:
     """(vec_id_1, vec_id_2, cosine): near-duplicate pairs with cosine >=
     tau, candidates from LSH band buckets (approximate recall; exact
     precision — every emitted pair is verified with a float64 cosine)."""
+    # one row per (vec, band), tiny — materialize so the self-join's two
+    # sides share one signature kernel pass instead of running it twice
     sigs = hyperplane_signatures(emb, dim)
     bands = sigs.select(
         "vec_id",
@@ -469,7 +471,7 @@ def neardup_lsh(emb: DataFrame, tau: float = 0.45, dim: int = 64) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val")
+    ).select("vec_id", "band.band_id", "band.band_val").localCheckpoint()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_val"])
