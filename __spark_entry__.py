@@ -198,6 +198,16 @@ def _q_decide_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("xs").alias("xs_b"),
         F.col("ys").alias("ys_b"),
     )
+    # DEMO-SCALE ONLY: the crossJoin is intentional here (a few hundred
+    # sampled pairs exercising the SQL UDF surface) and guarded so the
+    # pattern cannot silently scale into an all-pairs join — production
+    # pair generation goes through the grid/signature candidate joins.
+    n_a, n_b = a.count(), b.count()
+    if n_a * n_b > 1_000_000:
+        raise ValueError(
+            f"decide_udf demo crossJoin would produce {n_a * n_b} pairs; "
+            "use range_query_grid/bb_range_query for large pair sets"
+        )
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     pairs.createOrReplaceTempView("udf_pairs")
     return spark.sql(

@@ -58,12 +58,15 @@ def _solve_quadratic_interval_2d(
     """Elementwise a*t^2 + b*t + c <= 0 clipped to [0,1] over (B, K) arrays;
     empty -> (+inf, -inf). Same semantics as core._solve_quadratic_interval,
     branch-free (no boolean fancy indexing — every path is a flat where)."""
-    a = np.broadcast_to(a, c.shape)
-    b = np.broadcast_to(b, c.shape)
+    # nd/den on the ORIGINAL (possibly (B,1)) shape: the segment-vs-points
+    # caller passes a constant `a` per row, so the comparison and the
+    # division run on B elements instead of B*M — numpy broadcasting in
+    # the arithmetic below yields bit-identical element values.
     nd = a > 0.0
+    den = 0.5 / np.where(nd, a, 1.0)
+    nd = np.broadcast_to(nd, c.shape)
     disc = b * b - 4.0 * a * c
     sq = np.sqrt(np.maximum(disc, 0.0))
-    den = 0.5 / np.where(nd, a, 1.0)
     t1 = (-b - sq) * den
     t2 = (-b + sq) * den
     okr = nd & (disc >= 0.0) & (t1 <= 1.0) & (t2 >= 0.0)

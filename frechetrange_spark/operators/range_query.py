@@ -478,7 +478,12 @@ def _pack_curves(df: DataFrame, simp_levels: int) -> dict:
 # long-lived session issuing many broadcast-attach queries cannot
 # accumulate broadcasts without bound.
 _PACK_CACHE: dict = {}
-_PACK_CACHE_CAP = 4
+# 8 entries: a working set of four concurrent query families, two packs
+# each (kNN's checkpoint-keyed packs are new users since r06 — with the
+# old cap of 4 they evicted the repeated range_query packs every suite
+# round, forcing a re-collect per query). Packs are ~5-15 MB broadcasts;
+# eviction unpersists executor copies.
+_PACK_CACHE_CAP = 8
 
 
 def _plan_key(df: DataFrame):
@@ -1061,16 +1066,31 @@ def range_query_grid(
                 )
             t_spec = ("disk", pack_path)
             # query side: broadcast-pack when it fits (the common 100-TB
-            # shape: huge dataset, bounded query set); otherwise fall
-            # back to the SAME store — exact for the self-join shape
-            # (queries drawn from the indexed table); foreign over-
-            # threshold query tables raise the loud _lookup KeyError and
-            # need their own write_pack + meta['pack_path']
+            # shape: huge dataset, bounded query set); otherwise gather
+            # from a disk pack — the INDEX's own store only for the
+            # self-join shape (symmetric=True: queries ARE the indexed
+            # curves) or an explicit meta['query_pack_path']. A foreign
+            # over-threshold query table must NOT silently reuse the
+            # index store: overlapping traj_id spaces would gather the
+            # WRONG curves for the query side and return silently wrong
+            # results (only ids absent from the store trip the loud
+            # _lookup KeyError) — raise instead.
             thr = _broadcast_threshold(spark)
             if thr > 0 and _payload_bytes_gated(queries, thr) <= thr:
                 q_spec = ("bcast", _pack_broadcast(queries, simp_levels))
-            else:
+            elif symmetric:
                 q_spec = ("disk", pack_path)
+            elif meta.get("query_pack_path"):
+                q_spec = ("disk", meta["query_pack_path"])
+            else:
+                raise ValueError(
+                    "attach='pack' with an over-broadcast-threshold query "
+                    "table: reusing the index's pack store is only exact "
+                    "for the self-join shape (symmetric=True). Write a "
+                    "pack for the query table (pack_store.write_pack) and "
+                    "set meta['query_pack_path'], or raise the broadcast "
+                    "threshold."
+                )
             refine_bcast = (q_spec, t_spec)
         else:
             refine_bcast = (

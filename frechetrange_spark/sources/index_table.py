@@ -108,6 +108,14 @@ def compact_index(
     half-written one (there is a sub-ms window between the renames where
     the dir is absent — a table-format pointer swap, e.g. an Iceberg
     snapshot commit, closes even that on a real deployment).
+
+    Crash safety: stale ``._compact``/``._old`` siblings from an earlier
+    failed run are removed on entry (a leftover ``._old`` next to a live
+    data dir is a completed swap whose cleanup died — the data dir wins);
+    if the second rename fails, the first is rolled back so the index is
+    never left without a data directory. Manual recovery for a crash
+    BETWEEN the renames (data dir absent): ``mv <data>._old <data>`` (or
+    ``mv <data>._compact <data>`` to adopt the finished rewrite).
     """
     meta_file = os.path.join(path, "_meta.json")
     if os.path.exists(meta_file):
@@ -119,10 +127,22 @@ def compact_index(
     else:
         data_dir = path
     tmp = data_dir.rstrip("/") + "._compact"
-    _o1_sorted(spark.read.parquet(data_dir), corner).write.mode(
-        "overwrite"
-    ).parquet(tmp)
     old = data_dir.rstrip("/") + "._old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    try:
+        _o1_sorted(spark.read.parquet(data_dir), corner).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)  # don't leak a partial rewrite
+        raise
     os.rename(data_dir, old)
-    os.rename(tmp, data_dir)
+    try:
+        os.rename(tmp, data_dir)
+    except BaseException:
+        os.rename(old, data_dir)  # restore — never leave no data dir
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old)

@@ -131,3 +131,42 @@ def test_pack_self_join_disk_query_side(spark, enriched, tmp_path):
         assert auto == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pack_foreign_over_threshold_query_raises(spark, enriched, tmp_path):
+    """r06 (advice item): an over-broadcast-threshold query table that is
+    NOT the indexed table itself (symmetric=False, no query_pack_path)
+    must fail loudly instead of silently gathering the index's curves
+    for the query side — id-overlapping foreign data would otherwise
+    return wrong results without any error."""
+    from frechetrange_spark.sources.index_table import read_index, write_index
+
+    index_df, meta = build_grid_index(enriched, 15.0, corner="min_min")
+    path = str(tmp_path / "idx")
+    write_index(index_df, path, meta, pack=True)
+    idx, meta2 = read_index(spark, path)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1k")
+        with pytest.raises(ValueError, match="query table"):
+            range_query_grid(idx, idx, 15.0, meta2, attach="pack")
+        # and an explicit query_pack_path pointing at the (correct) store
+        # restores the old behaviour for the genuinely-same-table case
+        meta3 = dict(meta2, query_pack_path=meta2["pack_path"])
+        got = set(
+            map(
+                tuple,
+                range_query_grid(idx, idx, 15.0, meta3, attach="pack").collect(),
+            )
+        )
+        want = set(
+            map(
+                tuple,
+                range_query_grid(
+                    idx, idx, 15.0, meta2, attach="shuffle"
+                ).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
