@@ -206,97 +206,94 @@ def knn_candidates_grid(
     homed = curves.select(F.col("traj_id"), *[F.col(c) for c in _FEATS]).withColumn(
         "cell_x", cell_coord(F.col("min_x"), mesh)
     ).withColumn("cell_y", cell_coord(F.col("min_y"), mesh))
-    # Tiny planning intermediates (cell histogram, per-query ring radii /
-    # g_max: at most #occupied-cells and #queries rows) are eagerly
-    # localCheckpointed: each is consumed by several downstream broadcast
-    # builds, and without the cut every build re-ran the whole upstream
-    # lineage — including repeated scans of the curve table (measured:
-    # the candidate stage was ~37% of knn wall time, mostly these
-    # re-computations). Checkpoint cost is one tiny job each.
-    cells = (
-        homed.groupBy("cell_x", "cell_y")
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
+    spark = curves.sparkSession
+    # Ring PLANNING runs on the driver (r06): its two inputs are bounded
+    # — the occupied-cell histogram (an index statistic of the same
+    # family choose_corner/choose_salt already collect; #cells << N) and
+    # the per-query scalar features (the bounded query workload, which
+    # the refine stage collects into a broadcast pack anyway). The old
+    # all-relational planning DAG (crossJoin + window + three
+    # localCheckpoints + five broadcast builds) cost 18 Spark jobs of
+    # sub-second tiny-data work per call; this shape costs 2 collects +
+    # 1 aggregate, and the DATA-scale work (the two homed probes and the
+    # scalar radius prune) stays relational and map-only. Every float
+    # expression is replicated exactly (same IEEE ops), so the candidate
+    # set is identical (pinned by the grid==all-pairs parity test).
+    cell_rows = (
+        homed.groupBy("cell_x", "cell_y").agg(F.count("*").alias("cnt")).collect()
     )
-    q = queries.select(
-        F.col("traj_id").alias("query_id"),
-        *[F.col(c).alias(f"q_{c}") for c in _FEATS],
-    ).withColumn("q_cell_x", cell_coord(F.col("q_min_x"), mesh)).withColumn(
-        "q_cell_y", cell_coord(F.col("q_min_y"), mesh)
-    )
-    # per (query, occupied cell): Chebyshev cell-ring distance g
-    qc = q.crossJoin(F.broadcast(cells)).withColumn(
-        "g",
-        F.greatest(
-            F.abs(F.col("q_cell_x") - F.col("cell_x")),
-            F.abs(F.col("q_cell_y") - F.col("cell_y")),
-        ),
-    )
-    wg = (
-        Window.partitionBy("query_id")
-        .orderBy("g")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
-    ring_radius = (
-        qc.withColumn("cum", F.sum("cnt").over(wg))
-        .groupBy("query_id")
-        .agg(
-            F.min(F.when(F.col("cum") >= k + 1, F.col("g"))).alias("rq"),
-            F.max("g").alias("g_all"),
+    ccx = np.array([r["cell_x"] for r in cell_rows], dtype=np.int64)
+    ccy = np.array([r["cell_y"] for r in cell_rows], dtype=np.int64)
+    ccnt = np.array([r["cnt"] for r in cell_rows], dtype=np.int64)
+    q_rows = queries.select(F.col("traj_id"), *[F.col(c) for c in _FEATS]).collect()
+    if not cell_rows or not q_rows:
+        return curves.sparkSession.createDataFrame(
+            [], "query_id long, traj_id long"
         )
-        .select(
-            "query_id", F.coalesce("rq", "g_all").alias("rq"), "g_all"
-        )
-        .localCheckpoint()
-    )
-    # ring pairs: curves whose home cell is within r_q — enough to bound
-    # the k-th smallest UB per query. The probe side (query x cell rows)
-    # is tiny and BROADCAST, so the join is a map-only hash probe over
-    # the curves — never a shuffle keyed by (hot) cells.
-    ring_cells = (
-        qc.join(F.broadcast(ring_radius), "query_id")
-        .filter(F.col("g") <= F.col("rq"))
-        .drop("cnt", "g", "rq", "g_all")
-    )
+    qid = np.array([r["traj_id"] for r in q_rows], dtype=np.int64)
+    qfe = {c: np.array([r[c] for r in q_rows], dtype=np.float64) for c in _FEATS}
+    qcx = np.floor(qfe["min_x"] / float(mesh)).astype(np.int64)
+    qcy = np.floor(qfe["min_y"] / float(mesh)).astype(np.int64)
+    # per (query, occupied cell): Chebyshev ring distance g; rq = smallest
+    # g whose cumulative count reaches k+1 (fallback: the farthest ring)
+    g = np.maximum(
+        np.abs(qcx[:, None] - ccx[None, :]), np.abs(qcy[:, None] - ccy[None, :])
+    )  # (Q, C)
+    order = np.argsort(g, axis=1, kind="stable")
+    g_sorted = np.take_along_axis(g, order, axis=1)
+    cum = np.cumsum(np.take_along_axis(np.broadcast_to(ccnt, g.shape), order, axis=1), axis=1)
+    reach = cum >= k + 1
+    first = np.argmax(reach, axis=1)
+    g_all = g_sorted[:, -1]
+    rq = np.where(reach.any(axis=1), g_sorted[np.arange(len(qid)), first], g_all)
+
+    def _probe_df(mask: np.ndarray):
+        """(query_id, q-features, cell_x, cell_y) rows for the masked
+        (query, cell) pairs — the tiny broadcast probe side."""
+        qi, ci = np.nonzero(mask)
+        data = {"query_id": qid[qi]}
+        for c in _FEATS:
+            data[f"q_{c}"] = qfe[c][qi]
+        data["cell_x"] = ccx[ci]
+        data["cell_y"] = ccy[ci]
+        import pandas as pd
+
+        schema = "query_id long, " + ", ".join(
+            f"q_{c} double" for c in _FEATS
+        ) + ", cell_x long, cell_y long"
+        return spark.createDataFrame(pd.DataFrame(data), schema=schema)
+
+    # ring pairs: curves homed within r_q — enough to bound the k-th
+    # smallest UB per query; the probe side is tiny and BROADCAST, so the
+    # join is a map-only hash probe over the curves — never a shuffle
+    # keyed by (hot) cells.
     ring = (
-        homed.join(F.broadcast(ring_cells), ["cell_x", "cell_y"])
+        homed.join(F.broadcast(_probe_df(g <= rq[:, None])), ["cell_x", "cell_y"])
         .filter(F.col("traj_id") != F.col("query_id"))
         .select("query_id", "traj_id", _ub_col().alias("ub"))
     )
-    # k-th smallest UB VALUE per query — a plain aggregate (sort the
-    # collected per-query UB list) instead of the old row_number window +
-    # groupBy: one pass, no pre-sort exchange; the value is identical
-    # (row_number tie order never changes the k-th smallest value).
-    uk = ring.groupBy("query_id").agg(
-        F.try_element_at(F.array_sort(F.collect_list("ub")), F.lit(k)).alias(
-            "uprime"
-        ),
-        F.count("*").alias("n_ring"),
-    )
-    # g_max per query; a query with < k non-self ring pairs (tiny corpus)
-    # falls back to every occupied cell
-    g_max = (
-        ring_radius.join(uk, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(
-                F.when(
-                    F.col("n_ring") >= k,
-                    F.floor(F.col("uprime") / F.lit(float(mesh))) + 2,
-                ),
-                F.col("g_all"),
-            ).alias("g_max"),
+    uk_rows = (
+        ring.groupBy("query_id")
+        .agg(
+            F.try_element_at(F.array_sort(F.collect_list("ub")), F.lit(k)).alias(
+                "uprime"
+            ),
+            F.count("*").alias("n_ring"),
         )
-        .localCheckpoint()
+        .collect()
     )
-    cand_cells = (
-        qc.join(F.broadcast(g_max), "query_id")
-        .filter(F.col("g") <= F.col("g_max"))
-        .drop("cnt", "g", "g_max")
-    )
-    cand = homed.join(F.broadcast(cand_cells), ["cell_x", "cell_y"]).filter(
-        F.col("traj_id") != F.col("query_id")
-    )
+    # g_max per query: floor(U'_k/mesh) + 2; a query with < k non-self
+    # ring pairs (tiny corpus) falls back to every occupied cell
+    g_max = g_all.copy()
+    pos = {int(i): n for n, i in enumerate(qid)}
+    for r in uk_rows:
+        if r["n_ring"] >= k:
+            g_max[pos[int(r["query_id"])]] = (
+                np.floor(float(r["uprime"]) / float(mesh)) + 2
+            )
+    cand = homed.join(
+        F.broadcast(_probe_df(g <= g_max[:, None])), ["cell_x", "cell_y"]
+    ).filter(F.col("traj_id") != F.col("query_id"))
     bounded = cand.select(
         "query_id", "traj_id", _lb_col().alias("lb"), _ub_col().alias("ub")
     )
